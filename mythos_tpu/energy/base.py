@@ -1,0 +1,346 @@
+"""Energy-function composition and parameter management.
+
+Parity reference: mythos/energy/base.py:24-462. The public contract is kept
+(``with_params`` re-derives dependent params inside the trace so gradients
+flow; composed functions share a global parameter namespace; ``map`` evaluates
+a trajectory with lax.map + optional rematerialization).
+
+TPU-first differences:
+
+* No jax-md: bodies are ``mythos_tpu.rigid_body.RigidBody`` pytrees and
+  displacement functions broadcast natively (no map_bond wrapper).
+* ``ComposedEnergyFunction`` applies each distinct ``transform_fn``
+  (quaternion -> interaction sites) once per call and shares the transformed
+  body across member terms; the reference recomputes it per term.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from collections.abc import Callable
+from dataclasses import InitVar
+from typing import Any, Union
+
+import chex
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mythos_tpu.energy.configuration import BaseConfiguration
+from mythos_tpu.io.topology import Topology
+from mythos_tpu.rigid_body import RigidBody
+from mythos_tpu.utils.types import Arr, Scalar, Sequence
+
+ERR_CALL_NOT_IMPLEMENTED = "Subclasses must implement this method"
+ERR_COMPOSED_ENERGY_FN_LEN_MISMATCH = "Weights must have the same length as energy functions"
+ERR_COMPOSED_ENERGY_FN_TYPE_ENERGY_FNS = "energy_fns must be a list of energy functions"
+ERR_MISSING_TOPOLOGY = "Missing topology information"
+
+
+@chex.dataclass(frozen=True, kw_only=True)
+class EnergyFunction(ABC):
+    """Callable RigidBody -> scalar energy, with parameter management.
+
+    Attributes:
+        map_batch_size: lax.map batch size in :meth:`map`.
+        map_checkpoint: wrap the per-state call in jax.checkpoint inside
+            :meth:`map` (memory/recompute lever for DiffTRe).
+    """
+
+    map_batch_size: int | None = 100
+    map_checkpoint: bool = True
+
+    @abstractmethod
+    def __call__(self, body: RigidBody) -> Scalar:
+        """Energy of the system."""
+
+    @abstractmethod
+    def with_params(self, *repl_dicts: dict, **repl_kwargs: Any) -> "EnergyFunction":
+        """New energy function with updated parameters (dicts first, kwargs win)."""
+
+    @abstractmethod
+    def with_props(self, **kwargs) -> "EnergyFunction":
+        """New energy function with updated class-level properties."""
+
+    @abstractmethod
+    def with_noopt(self, *params: str) -> "EnergyFunction":
+        """New energy function with given parameters marked non-optimizable."""
+
+    @abstractmethod
+    def params_dict(self, *, include_dependent: bool = True, exclude_non_optimizable: bool = False) -> dict:
+        """Parameters as a flat dict."""
+
+    @abstractmethod
+    def opt_params(self) -> dict[str, Scalar]:
+        """The configured optimizable parameters."""
+
+    def map(self, body_sequence: RigidBody) -> Arr:
+        """Map the energy over a stacked (S, ...) body sequence."""
+        inner = jax.checkpoint(self.__call__) if self.map_checkpoint else self.__call__
+        return jax.lax.map(inner, body_sequence, batch_size=self.map_batch_size)
+
+
+@chex.dataclass(frozen=True)
+class BaseNucleotide(RigidBody, ABC):
+    """Rigid body augmented with precomputed interaction sites."""
+
+    stack_sites: Arr
+    back_sites: Arr
+    base_sites: Arr
+    back_base_vectors: Arr
+    base_normals: Arr
+    cross_prods: Arr
+
+    @staticmethod
+    @abstractmethod
+    def from_rigid_body(rigid_body: RigidBody, **kwargs) -> "BaseNucleotide":
+        """Precompute sites from a rigid body."""
+
+
+@chex.dataclass(frozen=True, kw_only=True)
+class BaseEnergyFunction(EnergyFunction):
+    """A single energy term bound to a topology.
+
+    Index conventions (the contract kernels must honor): bonded pairs are
+    (B, 2) indexed ``[:, 0]/[:, 1]``; unbonded pairs are transposed to (2, U)
+    and indexed ``[0]/[1]``, padded entries carry index N and are masked via
+    ``op_i < N``.
+    """
+
+    params: BaseConfiguration
+    displacement_fn: Callable
+    seq: Sequence | None = None
+    bonded_neighbors: Arr | None = None
+    unbonded_neighbors: Arr | None = None
+    topology: InitVar[Topology | None] = None
+    transform_fn: Callable | None = None
+
+    def __post_init__(self, topology: Topology | None) -> None:
+        if topology:
+            # jnp (not numpy) so gathers accept traced indices (e.g. a
+            # neighbor list carried through lax.scan becomes a tracer)
+            seq = topology.seq if isinstance(topology.seq, tuple) else jnp.asarray(topology.seq)
+            object.__setattr__(self, "seq", seq)
+            object.__setattr__(self, "bonded_neighbors", jnp.asarray(topology.bonded_neighbors))
+            object.__setattr__(self, "unbonded_neighbors", jnp.asarray(topology.unbonded_neighbors).T)
+        elif any(x is None for x in (self.seq, self.bonded_neighbors, self.unbonded_neighbors)):
+            raise ValueError(ERR_MISSING_TOPOLOGY)
+        elif isinstance(self.seq, np.ndarray):
+            object.__setattr__(self, "seq", jnp.asarray(self.seq))
+
+    @classmethod
+    def create_from(cls, other: "EnergyFunction", **kwargs) -> "EnergyFunction":
+        """New energy function copying properties from another."""
+        return cls(**(dict(other) | kwargs))
+
+    @property
+    def displacement_mapped(self) -> Callable:
+        """The displacement function (already natively vectorized)."""
+        return self.displacement_fn
+
+    def __add__(self, other: "BaseEnergyFunction") -> "ComposedEnergyFunction":
+        if not isinstance(other, BaseEnergyFunction):
+            return NotImplemented
+        return ComposedEnergyFunction(energy_fns=[self, other])
+
+    def __mul__(self, other: float) -> "ComposedEnergyFunction":
+        if not isinstance(other, (float, int)):
+            return NotImplemented
+        return ComposedEnergyFunction(energy_fns=[self], weights=jnp.array([other], dtype=float))
+
+    __rmul__ = __mul__
+
+    def with_props(self, **kwargs: Any) -> EnergyFunction:
+        return self.replace(**kwargs)
+
+    def with_noopt(self, *params: str) -> EnergyFunction:
+        updated = set(self.params.non_optimizable_required_params) | set(params)
+        return self.replace(params=self.params.replace(non_optimizable_required_params=list(updated)))
+
+    def opt_params(self) -> dict[str, Scalar]:
+        return self.params.opt_params
+
+    def with_params(self, *repl_dicts: dict, **repl_kwargs: Any) -> EnergyFunction:
+        new_params = self.params
+        for replacements in repl_dicts:
+            new_params = new_params | replacements
+        new_params = new_params | repl_kwargs
+        return self.replace(params=new_params.init_params())
+
+    def params_dict(self, include_dependent: bool = True, exclude_non_optimizable: bool = False) -> dict:
+        return self.params.to_dictionary(
+            include_dependent=include_dependent,
+            exclude_non_optimizable=exclude_non_optimizable,
+        )
+
+    def __call__(self, body: RigidBody) -> Scalar:
+        if self.transform_fn:
+            body = self.transform_fn(body)
+        return self.compute_energy(body)
+
+    @abstractmethod
+    def compute_energy(self, nucleotide: BaseNucleotide) -> Scalar:
+        """Energy given the (transformed) nucleotide body."""
+
+
+@chex.dataclass(frozen=True)
+class ComposedEnergyFunction(EnergyFunction):
+    """Weighted linear combination of energy terms with a shared namespace.
+
+    ``with_params(kt=...)`` fans out to every member containing the key and
+    errors on fully-unused keys unless ``strict_params=False``.
+    """
+
+    energy_fns: list[BaseEnergyFunction]
+    weights: Arr | None = None
+    strict_params: bool = True
+
+    def __post_init__(self) -> None:
+        if not isinstance(self.energy_fns, list) or not all(
+            isinstance(fn, BaseEnergyFunction) for fn in self.energy_fns
+        ):
+            raise TypeError(ERR_COMPOSED_ENERGY_FN_TYPE_ENERGY_FNS)
+        if self.weights is not None and len(self.weights) != len(self.energy_fns):
+            raise ValueError(ERR_COMPOSED_ENERGY_FN_LEN_MISMATCH)
+
+    def with_props(self, **kwargs: Any) -> "ComposedEnergyFunction":
+        return self.replace(energy_fns=[fn.with_props(**kwargs) for fn in self.energy_fns])
+
+    # Namespace hooks (overridden by the qualified variant) -------------------
+
+    def _param_in_fn(self, param: str, fn: BaseEnergyFunction) -> bool:
+        return param in fn.params
+
+    def _rename_param_for_fn(self, param: str, _fn: BaseEnergyFunction) -> str:
+        return param
+
+    def _rename_param_from_fn(self, param: str, _fn: BaseEnergyFunction) -> str:
+        return param
+
+    # -------------------------------------------------------------------------
+
+    def with_noopt(self, *params: str) -> "ComposedEnergyFunction":
+        energy_fns = []
+        for fn in self.energy_fns:
+            fn_params = [self._rename_param_for_fn(p, fn) for p in params if self._param_in_fn(p, fn)]
+            energy_fns.append(fn.with_noopt(*fn_params))
+        return self.replace(energy_fns=energy_fns)
+
+    def opt_params(self, from_fns: list[type] | None = None) -> dict[str, Scalar]:
+        fns = self.energy_fns if from_fns is None else [f for f in self.energy_fns if type(f) in from_fns]
+        return {self._rename_param_from_fn(k, fn): v for fn in fns for k, v in fn.opt_params().items()}
+
+    def with_params(self, *repl_dicts: dict, **repl_kwargs: Any) -> "ComposedEnergyFunction":
+        all_replacements = set(repl_kwargs) | {k for arg in repl_dicts for k in arg}
+        used: set[str] = set()
+        energy_fns = []
+        for fn in self.energy_fns:
+            new_params = {k: v for arg in repl_dicts for k, v in arg.items() if self._param_in_fn(k, fn)}
+            new_params.update({k: v for k, v in repl_kwargs.items() if self._param_in_fn(k, fn)})
+            used.update(new_params.keys())
+            new_params = {self._rename_param_for_fn(k, fn): v for k, v in new_params.items()}
+            energy_fns.append(fn.with_params(**new_params))
+
+        if self.strict_params and (unused := all_replacements - used):
+            raise ValueError(f"Some parameters were not used in any energy function: {unused}.")
+        return self.replace(energy_fns=energy_fns)
+
+    def params_dict(self, *, include_dependent: bool = True, exclude_non_optimizable: bool = False) -> dict:
+        params: dict = {}
+        for fn in self.energy_fns:
+            fn_params = fn.params_dict(
+                include_dependent=include_dependent,
+                exclude_non_optimizable=exclude_non_optimizable,
+            )
+            params.update({self._rename_param_from_fn(k, fn): v for k, v in fn_params.items()})
+        return params
+
+    def compute_terms(self, body: RigidBody) -> Arr:
+        """Each member's energy; each distinct transform runs exactly once."""
+        transformed: dict[int, RigidBody] = {}
+        vals = []
+        for fn in self.energy_fns:
+            if fn.transform_fn is None:
+                vals.append(fn.compute_energy(body))
+            else:
+                key = id(fn.transform_fn)
+                if key not in transformed:
+                    transformed[key] = fn.transform_fn(body)
+                vals.append(fn.compute_energy(transformed[key]))
+        return jnp.array(vals)
+
+    def __call__(self, body: RigidBody) -> Scalar:
+        energy_vals = self.compute_terms(body)
+        return jnp.sum(energy_vals) if self.weights is None else jnp.dot(self.weights, energy_vals)
+
+    def without_terms(self, *terms: str | type) -> "ComposedEnergyFunction":
+        """Drop terms by class or class name."""
+        new_fns, new_weights = [], []
+        for i, fn in enumerate(self.energy_fns):
+            if type(fn) in terms or fn.__class__.__name__ in terms:
+                continue
+            new_fns.append(fn)
+            if self.weights is not None:
+                new_weights.append(self.weights[i])
+        weights = None if self.weights is None else jnp.array(new_weights)
+        return self.replace(energy_fns=new_fns, weights=weights)
+
+    def add_energy_fn(self, energy_fn: BaseEnergyFunction, weight: float = 1.0) -> "ComposedEnergyFunction":
+        """Append a term (with optional weight)."""
+        if self.weights is None:
+            weights = None if weight == 1.0 else jnp.array([1.0] * len(self.energy_fns) + [weight])
+        else:
+            weights = jnp.concatenate([self.weights, jnp.array([weight])])
+        return ComposedEnergyFunction(energy_fns=[*self.energy_fns, energy_fn], weights=weights)
+
+    def add_composable_energy_fn(self, energy_fn: "ComposedEnergyFunction") -> "ComposedEnergyFunction":
+        """Concatenate two composed functions, merging weights."""
+        ow = energy_fn.weights
+        if self.weights is None and ow is None:
+            weights = None
+        elif self.weights is not None and ow is not None:
+            weights = jnp.concatenate([self.weights, ow])
+        else:
+            this_w = self.weights if self.weights is not None else jnp.ones(len(self.energy_fns))
+            other_w = ow if ow is not None else jnp.ones(len(energy_fn.energy_fns))
+            weights = jnp.concatenate([this_w, other_w])
+        return ComposedEnergyFunction(energy_fns=self.energy_fns + energy_fn.energy_fns, weights=weights)
+
+    def __add__(self, other: Union[BaseEnergyFunction, "ComposedEnergyFunction"]) -> "ComposedEnergyFunction":
+        if isinstance(other, ComposedEnergyFunction):
+            return self.add_composable_energy_fn(other)
+        if isinstance(other, BaseEnergyFunction):
+            return self.add_energy_fn(other)
+        return NotImplemented
+
+    __radd__ = __add__
+
+    @classmethod
+    def from_lists(
+        cls,
+        energy_fns: list[type[BaseEnergyFunction]],
+        energy_configs: list[BaseConfiguration],
+        weights: list[float] | None = None,
+        **kwargs,
+    ) -> "ComposedEnergyFunction":
+        """Instantiate term classes with shared kwargs + initialized configs."""
+        weights = weights if weights is not None else jnp.ones(len(energy_fns))
+        fns = [
+            ef(**kwargs, params=ec.init_params())
+            for ef, ec in zip(energy_fns, energy_configs, strict=True)
+        ]
+        return cls(energy_fns=fns, weights=weights)
+
+
+class QualifiedComposedEnergyFunction(ComposedEnergyFunction):
+    """Composed function with per-term parameter namespaces (``Class.param``)."""
+
+    def _param_in_fn(self, param: str, fn: BaseEnergyFunction) -> bool:
+        cls, param = param.split(".", 1)
+        return param in fn.params and fn.__class__.__qualname__ == cls
+
+    def _rename_param_for_fn(self, param: str, fn: BaseEnergyFunction) -> str:
+        return param.split(".", 1)[1]
+
+    def _rename_param_from_fn(self, param: str, fn: BaseEnergyFunction) -> str:
+        return f"{fn.__class__.__qualname__}.{param}"

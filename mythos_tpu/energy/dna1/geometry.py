@@ -1,0 +1,175 @@
+"""Shared pair-geometry computations for the oxDNA-family terms.
+
+The angle definitions follow the oxDNA1 paper as implemented in the reference
+term classes (mythos/energy/dna1/{stacking,hydrogen_bonding,cross_stacking,
+coaxial_stacking}.py). Each function gathers per-pair site/frame data and
+returns the full angle set for one interaction family; terms sharing pairs
+reuse the same geometry, and XLA CSE dedupes any remaining overlap inside a
+jitted step.
+
+Pair-direction conventions (must match the reference exactly):
+* bonded pairs:   dr_site = displacement(site[i], site[j])  (i minus j)
+* unbonded pairs: dr_site = displacement(site[j], site[i])  (j minus i)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from mythos_tpu.energy.base import BaseNucleotide
+from mythos_tpu.utils.math import clamp
+from mythos_tpu.utils.types import Arr
+
+
+def _safe(r: Arr, eps: float = 1e-12) -> Arr:
+    """Guard a pair distance away from zero (padded entries have r == 0;
+    they are masked downstream, the guard keeps their gradients finite)."""
+    return jnp.where(r > eps, r, 1.0)
+
+
+def _angle(u: Arr, v: Arr) -> Arr:
+    """arccos of clamped row-wise dot."""
+    return jnp.arccos(clamp(jnp.sum(u * v, axis=-1)))
+
+
+def _angle_dr(u: Arr, dr: Arr, r: Arr) -> Arr:
+    """arccos of clamped (u . dr) / r."""
+    return jnp.arccos(clamp(jnp.sum(u * dr, axis=-1) / _safe(r)))
+
+
+class BondedGeometry(NamedTuple):
+    """Geometry for one bonded (backbone-connected) pair set."""
+
+    dr_back: Arr
+    r_back: Arr
+    dr_stack: Arr
+    r_stack: Arr
+    dr_base: Arr
+    dr_back_base: Arr
+    dr_base_back: Arr
+    theta4: Arr
+    theta5: Arr
+    theta6: Arr
+    cosphi1: Arr
+    cosphi2: Arr
+
+
+def bonded_geometry(
+    nuc: BaseNucleotide, nn_i: Arr, nn_j: Arr, displacement_fn: Callable
+) -> BondedGeometry:
+    """All geometry used by FENE / bonded-exc-vol / stacking in one pass."""
+    back_i, back_j = nuc.back_sites[nn_i], nuc.back_sites[nn_j]
+    base_i, base_j = nuc.base_sites[nn_i], nuc.base_sites[nn_j]
+    n_i, n_j = nuc.base_normals[nn_i], nuc.base_normals[nn_j]
+
+    dr_back = displacement_fn(back_i, back_j)
+    r_back = jnp.linalg.norm(dr_back, axis=-1)
+
+    dr_stack = displacement_fn(nuc.stack_sites[nn_i], nuc.stack_sites[nn_j])
+    r_stack = jnp.linalg.norm(dr_stack, axis=-1)
+
+    theta4 = _angle(n_i, n_j)
+    theta5 = jnp.pi - _angle_dr(n_j, dr_stack, r_stack)
+    theta6 = jnp.pi - _angle_dr(n_i, dr_stack, r_stack)
+    cosphi1 = -jnp.sum(nuc.cross_prods[nn_i] * dr_back, axis=-1) / _safe(r_back)
+    cosphi2 = -jnp.sum(nuc.cross_prods[nn_j] * dr_back, axis=-1) / _safe(r_back)
+
+    return BondedGeometry(
+        dr_back=dr_back,
+        r_back=r_back,
+        dr_stack=dr_stack,
+        r_stack=r_stack,
+        dr_base=displacement_fn(base_i, base_j),
+        dr_back_base=displacement_fn(back_i, base_j),
+        dr_base_back=displacement_fn(base_i, back_j),
+        theta4=theta4,
+        theta5=theta5,
+        theta6=theta6,
+        cosphi1=cosphi1,
+        cosphi2=cosphi2,
+    )
+
+
+class UnbondedGeometry(NamedTuple):
+    """Geometry for the unbonded pair set (base-site centric: HB/cross)."""
+
+    dr_base: Arr
+    r_base: Arr
+    theta1: Arr
+    theta2: Arr
+    theta3: Arr
+    theta4: Arr
+    theta7: Arr
+    theta8: Arr
+
+
+def unbonded_geometry(
+    nuc_i: BaseNucleotide,
+    nuc_j: BaseNucleotide,
+    op_i: Arr,
+    op_j: Arr,
+    displacement_fn: Callable,
+) -> UnbondedGeometry:
+    """Angle set shared by hydrogen bonding and cross stacking."""
+    a1_i, a1_j = nuc_i.back_base_vectors[op_i], nuc_j.back_base_vectors[op_j]
+    n_i, n_j = nuc_i.base_normals[op_i], nuc_j.base_normals[op_j]
+
+    dr_base = displacement_fn(nuc_j.base_sites[op_j], nuc_i.base_sites[op_i])
+    r_base = jnp.linalg.norm(dr_base, axis=-1)
+
+    return UnbondedGeometry(
+        dr_base=dr_base,
+        r_base=r_base,
+        theta1=_angle(-a1_i, a1_j),
+        theta2=_angle_dr(-a1_j, dr_base, r_base),
+        theta3=_angle_dr(a1_i, dr_base, r_base),
+        theta4=_angle(n_i, n_j),
+        theta7=_angle_dr(-n_j, dr_base, r_base),
+        theta8=jnp.pi - _angle_dr(n_i, dr_base, r_base),
+    )
+
+
+class CoaxGeometry(NamedTuple):
+    """Geometry for coaxial stacking (stack/backbone-site centric)."""
+
+    dr_stack: Arr
+    r_stack: Arr
+    theta1: Arr
+    theta4: Arr
+    theta5: Arr
+    theta6: Arr
+    cosphi3: Arr
+    cosphi4: Arr
+
+
+def coax_geometry(
+    nuc_i: BaseNucleotide,
+    nuc_j: BaseNucleotide,
+    op_i: Arr,
+    op_j: Arr,
+    displacement_fn: Callable,
+) -> CoaxGeometry:
+    """Angle set for dna1 coaxial stacking."""
+    a1_i, a1_j = nuc_i.back_base_vectors[op_i], nuc_j.back_base_vectors[op_j]
+    n_i, n_j = nuc_i.base_normals[op_i], nuc_j.base_normals[op_j]
+
+    dr_stack = displacement_fn(nuc_j.stack_sites[op_j], nuc_i.stack_sites[op_i])
+    r_stack = jnp.linalg.norm(dr_stack, axis=-1)
+    dr_stack_norm = dr_stack / _safe(r_stack)[..., None]
+
+    dr_back = displacement_fn(nuc_j.back_sites[op_j], nuc_i.back_sites[op_i])
+    dr_back_norm = dr_back / _safe(jnp.linalg.norm(dr_back, axis=-1))[..., None]
+
+    return CoaxGeometry(
+        dr_stack=dr_stack,
+        r_stack=r_stack,
+        theta1=_angle(-a1_i, a1_j),
+        theta4=_angle(n_i, n_j),
+        theta5=_angle(n_i, dr_stack_norm),
+        theta6=_angle(-n_j, dr_stack_norm),
+        cosphi3=jnp.sum(dr_stack_norm * jnp.cross(dr_back_norm, a1_j), axis=-1),
+        cosphi4=jnp.sum(dr_stack_norm * jnp.cross(dr_back_norm, a1_i), axis=-1),
+    )

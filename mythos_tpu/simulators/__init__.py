@@ -1,0 +1,23 @@
+"""Simulation backends: native TPU scan simulator + external engine wrappers."""
+
+from mythos_tpu.simulators.base import InputDirSimulator, Simulator, SimulatorOutput
+from mythos_tpu.simulators.io import SimulatorTrajectory
+from mythos_tpu.simulators.neighbors import (
+    FixedCapacityNeighborList,
+    NoNeighborList,
+    neighbor_list_for_topology,
+)
+from mythos_tpu.simulators.tpu import StaticSimulatorParams, TpuSimulator, checkpoint_scan
+
+__all__ = [
+    "FixedCapacityNeighborList",
+    "InputDirSimulator",
+    "NoNeighborList",
+    "Simulator",
+    "SimulatorOutput",
+    "SimulatorTrajectory",
+    "StaticSimulatorParams",
+    "TpuSimulator",
+    "checkpoint_scan",
+    "neighbor_list_for_topology",
+]

@@ -1,0 +1,217 @@
+"""Native rigid-body integrators (Langevin NVT, NVE) for TPU scan loops.
+
+Replaces ``jax_md.simulate.nvt_langevin`` over rigid bodies (the backend the
+reference wires in at mythos/simulators/jax_md/jaxmd.py:73). Semantics match
+the reference's parameterization: ``gamma`` is a RigidBody of friction
+coefficients (center: translational, units mass/time, gamma = kT/D; orient:
+rotational, gamma_r = kT/D_r) and ``mass`` a RigidBody (center: particle
+mass, orient: principal moments of inertia (3,)).
+
+Scheme: geodesic BAOAB (Leimkuhler-Matthews) with the exact 5-stage NO_SQUISH
+free-rotor splitting (Miller et al., J. Chem. Phys. 116, 8649 (2002)) for the
+orientation drift:
+
+    B: half kick        p += dt/2 F;  L += dt/2 tau_body
+    A: half free drift  x += dt/2 p/m;  (q, L) <- no_squish(dt/2)
+    O: exact OU         p <- c p + sqrt((1-c^2) m kT) xi,  c = exp(-g dt/m)
+                        L_k <- c_k L_k + sqrt((1-c_k^2) I_k kT) xi
+    A, B as above (force recomputed once per step between A and B).
+
+Forces and body torques come from one reverse-mode gradient of the energy:
+F = -dE/dx and tau_body = -1/2 vec(q^-1 * dE/dq) (quaternion cotangent
+projection). Everything is pure jnp -> one fused XLA step inside lax.scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import chex
+import jax
+import jax.numpy as jnp
+
+from mythos_tpu.rigid_body import (
+    RigidBody,
+    quat_about_axis,
+    quat_cotangent_to_torque,
+    quat_multiply,
+    quat_normalize,
+)
+from mythos_tpu.utils.types import Arr, Scalar
+
+#: NO_SQUISH stage sequence: (axis, dt fraction)
+_NO_SQUISH_STAGES = ((2, 0.5), (1, 0.5), (0, 1.0), (1, 0.5), (2, 0.5))
+
+
+@chex.dataclass(frozen=True)
+class LangevinState:
+    """Integrator state carried through the scan."""
+
+    position: RigidBody  # center (N,3), orientation (N,4)
+    momentum: Arr  # (N, 3) linear momentum
+    angmom: Arr  # (N, 3) body-frame angular momentum
+    force: Arr  # (N, 3) cached force
+    torque: Arr  # (N, 3) cached body torque
+    mass: RigidBody  # center (N,) or scalar; orientation (3,) or (N,3)
+    key: Arr
+
+
+def _force_torque(energy_fn: Callable, body: RigidBody, *args, **kwargs) -> tuple[Arr, Arr]:
+    """Force and body-frame torque via one reverse-mode gradient."""
+    grads = jax.grad(lambda b: energy_fn(b, *args, **kwargs))(body)
+    force = -grads.center
+    torque = quat_cotangent_to_torque(body.orientation, grads.orientation)
+    return force, torque
+
+
+def _rotate_about_axis(v: Arr, axis: int, angle: Arr) -> Arr:
+    """Rotate (N, 3) vectors about the body axis e_{axis} by per-row angles."""
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    j, k = (axis + 1) % 3, (axis + 2) % 3
+    out = [None, None, None]
+    out[axis] = v[..., axis]
+    out[j] = c * v[..., j] - s * v[..., k]
+    out[k] = s * v[..., j] + c * v[..., k]
+    return jnp.stack(out, axis=-1)
+
+
+def free_rotor(q: Arr, angmom: Arr, inertia: Arr, dt: Scalar) -> tuple[Arr, Arr]:
+    """Exact NO_SQUISH free rigid-rotor flow for time dt.
+
+    For each principal-axis sub-Hamiltonian L_k^2 / 2 I_k the exact flow is a
+    body rotation: q <- q * rho_k(phi), L <- R_k(-phi) L with
+    phi = dt L_k / I_k.
+    """
+    inertia = jnp.broadcast_to(jnp.asarray(inertia), angmom.shape)
+    for axis, frac in _NO_SQUISH_STAGES:
+        phi = (dt * frac) * angmom[..., axis] / inertia[..., axis]
+        q = quat_multiply(q, quat_about_axis(phi, axis, dtype=q.dtype))
+        angmom = _rotate_about_axis(angmom, axis, -phi)
+    return quat_normalize(q), angmom
+
+
+def nvt_langevin(
+    energy_fn: Callable,
+    shift_fn: Callable,
+    dt: Scalar,
+    kT: Scalar,  # noqa: N803 - domain casing
+    gamma: RigidBody,
+) -> tuple[Callable, Callable]:
+    """Build (init_fn, step_fn) for rigid-body BAOAB Langevin dynamics.
+
+    ``energy_fn(body, **kwargs) -> scalar``; extra kwargs (e.g.
+    ``unbonded_neighbors``) are forwarded from step_fn.
+    """
+    dt = jnp.asarray(dt)
+
+    def init_fn(key: Arr, R: RigidBody, mass: RigidBody, **kwargs: Any) -> LangevinState:  # noqa: N803
+        n = R.center.shape[0]
+        dtype = R.center.dtype
+        m = jnp.broadcast_to(jnp.asarray(mass.center, dtype=dtype).reshape(-1), (n,))
+        inertia = jnp.broadcast_to(jnp.asarray(mass.orientation, dtype=dtype), (n, 3))
+
+        key, k1, k2 = jax.random.split(key, 3)
+        momentum = jax.random.normal(k1, (n, 3), dtype=dtype) * jnp.sqrt(m * kT)[:, None]
+        angmom = jax.random.normal(k2, (n, 3), dtype=dtype) * jnp.sqrt(inertia * kT)
+
+        force, torque = _force_torque(energy_fn, R, **kwargs)
+        return LangevinState(
+            position=R,
+            momentum=momentum,
+            angmom=angmom,
+            force=force,
+            torque=torque,
+            mass=RigidBody(center=m, orientation=inertia),
+            key=key,
+        )
+
+    def step_fn(state: LangevinState, **kwargs: Any) -> LangevinState:
+        m = state.mass.center[:, None]
+        inertia = state.mass.orientation
+        pos = state.position
+
+        # B
+        p = state.momentum + 0.5 * dt * state.force
+        ell = state.angmom + 0.5 * dt * state.torque
+
+        # A (half)
+        x = shift_fn(pos.center, 0.5 * dt * p / m)
+        q, ell = free_rotor(pos.orientation, ell, inertia, 0.5 * dt)
+
+        # O: exact Ornstein-Uhlenbeck on momenta
+        key, k1, k2 = jax.random.split(state.key, 3)
+        g_t = jnp.asarray(gamma.center, dtype=x.dtype).reshape(-1)[:, None]
+        g_r = jnp.asarray(gamma.orientation, dtype=x.dtype).reshape(-1)[:, None]
+        c_t = jnp.exp(-g_t * dt / m)
+        c_r = jnp.exp(-g_r * dt / inertia)
+        p = c_t * p + jnp.sqrt((1.0 - c_t**2) * m * kT) * jax.random.normal(k1, p.shape, p.dtype)
+        ell = c_r * ell + jnp.sqrt((1.0 - c_r**2) * inertia * kT) * jax.random.normal(
+            k2, ell.shape, ell.dtype
+        )
+
+        # A (half)
+        x = shift_fn(x, 0.5 * dt * p / m)
+        q, ell = free_rotor(q, ell, inertia, 0.5 * dt)
+        new_pos = RigidBody(center=x, orientation=q)
+
+        # force refresh + B
+        force, torque = _force_torque(energy_fn, new_pos, **kwargs)
+        p = p + 0.5 * dt * force
+        ell = ell + 0.5 * dt * torque
+
+        return state.replace(
+            position=new_pos, momentum=p, angmom=ell, force=force, torque=torque, key=key
+        )
+
+    return init_fn, step_fn
+
+
+def nve(
+    energy_fn: Callable,
+    shift_fn: Callable,
+    dt: Scalar,
+) -> tuple[Callable, Callable]:
+    """Velocity-Verlet rigid-body NVE (the gamma -> 0 limit; used in tests)."""
+
+    def init_fn(key: Arr, R: RigidBody, mass: RigidBody, kT: Scalar = 0.0, **kwargs: Any) -> LangevinState:  # noqa: N803
+        n = R.center.shape[0]
+        dtype = R.center.dtype
+        m = jnp.broadcast_to(jnp.asarray(mass.center, dtype=dtype).reshape(-1), (n,))
+        inertia = jnp.broadcast_to(jnp.asarray(mass.orientation, dtype=dtype), (n, 3))
+        key, k1, k2 = jax.random.split(key, 3)
+        if kT:
+            momentum = jax.random.normal(k1, (n, 3), dtype=dtype) * jnp.sqrt(m * kT)[:, None]
+            angmom = jax.random.normal(k2, (n, 3), dtype=dtype) * jnp.sqrt(inertia * kT)
+        else:
+            momentum = jnp.zeros((n, 3), dtype=dtype)
+            angmom = jnp.zeros((n, 3), dtype=dtype)
+        force, torque = _force_torque(energy_fn, R, **kwargs)
+        return LangevinState(
+            position=R,
+            momentum=momentum,
+            angmom=angmom,
+            force=force,
+            torque=torque,
+            mass=RigidBody(center=m, orientation=inertia),
+            key=key,
+        )
+
+    def step_fn(state: LangevinState, **kwargs: Any) -> LangevinState:
+        m = state.mass.center[:, None]
+        inertia = state.mass.orientation
+        dt_ = jnp.asarray(dt)
+
+        p = state.momentum + 0.5 * dt_ * state.force
+        ell = state.angmom + 0.5 * dt_ * state.torque
+        x = shift_fn(state.position.center, dt_ * p / m)
+        q, ell = free_rotor(state.position.orientation, ell, inertia, dt_)
+        new_pos = RigidBody(center=x, orientation=q)
+        force, torque = _force_torque(energy_fn, new_pos, **kwargs)
+        p = p + 0.5 * dt_ * force
+        ell = ell + 0.5 * dt_ * torque
+        return state.replace(
+            position=new_pos, momentum=p, angmom=ell, force=force, torque=torque
+        )
+
+    return init_fn, step_fn

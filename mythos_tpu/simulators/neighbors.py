@@ -1,0 +1,165 @@
+"""Fixed-shape neighbor lists for TPU scan loops.
+
+Replaces jax-md's ``partition.neighbor_list`` (used with
+``disable_cell_list=True`` and reallocation-on-overflow at
+mythos/simulators/jax_md/utils.py:70-126 in the reference). Reallocation
+changes array shapes, which would force XLA recompilation inside the hot
+loop; here capacity is fixed up front and overflow is *detected* (a flag the
+host can check) instead of reallocated.
+
+Two implementations:
+
+* :class:`NoNeighborList` -- static precomputed pair list (small systems).
+* :class:`FixedCapacityNeighborList` -- distance-culled pair list of fixed
+  capacity rebuilt functionally from an O(N^2) distance matrix with a
+  TPU-friendly top-k-free compaction (argsort over the mask). Suitable up to
+  ~20k nucleotides; beyond that the Pallas cell-list kernel (mythos_tpu.ops)
+  takes over.
+
+Convention: pair lists are (2, capacity) index arrays padded with N; energy
+terms mask padded entries via ``op_i < N``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Protocol
+
+import chex
+import jax.numpy as jnp
+import numpy as np
+
+from mythos_tpu.utils.types import Arr
+
+
+class NeighborHelper(Protocol):
+    """Interface shared by the neighbor-list strategies."""
+
+    @property
+    def idx(self) -> Arr:
+        """(2, P) unbonded pair indices, padded with N."""
+        ...
+
+    def allocate(self, centers: Arr) -> "NeighborHelper":
+        """Build the list for the given positions."""
+        ...
+
+    def update(self, centers: Arr) -> "NeighborHelper":
+        """Rebuild the list functionally (jit-safe, fixed shapes)."""
+        ...
+
+
+@chex.dataclass
+class NoNeighborList:
+    """All unbonded pairs, statically precomputed (exact, O(N^2) memory)."""
+
+    unbonded_nbrs: Arr  # (U, 2) or (2, U)
+
+    @property
+    def idx(self) -> Arr:
+        nbrs = jnp.asarray(self.unbonded_nbrs)
+        return nbrs if nbrs.shape[0] == 2 else nbrs.T
+
+    def allocate(self, centers: Arr) -> "NoNeighborList":
+        return self
+
+    def update(self, centers: Arr) -> "NoNeighborList":
+        return self
+
+
+def bonded_exclusion_mask(n: int, bonded_neighbors: np.ndarray) -> np.ndarray:
+    """(N, N) boolean mask of excluded (self + bonded) pairs."""
+    mask = np.eye(n, dtype=bool)
+    for i, j in np.asarray(bonded_neighbors):
+        mask[i, j] = mask[j, i] = True
+    return mask
+
+
+@chex.dataclass
+class FixedCapacityNeighborList:
+    """Distance-culled unbonded pairs with static capacity.
+
+    The rebuild computes the (N, N) pair-distance matrix (upper triangle),
+    masks bonded/self pairs, and compacts the hits into a (2, capacity)
+    list via argsort on the miss flag -- fixed shapes, no host sync. The
+    ``did_overflow`` flag records capacity overflow; results remain valid
+    (energies of dropped pairs are lost) so the host should enlarge capacity.
+
+    Attributes:
+        displacement_fn: minimum-image displacement.
+        exclusion_mask: (N, N) bool, True = never a neighbor.
+        r_cutoff: include pairs with r < r_cutoff + dr_threshold.
+        dr_threshold: skin distance (list stays valid while nothing moves
+            more than dr_threshold / 2).
+        capacity: max number of pairs kept.
+    """
+
+    displacement_fn: Callable
+    exclusion_mask: Arr
+    r_cutoff: float
+    dr_threshold: float
+    capacity: int
+    idx_: Arr | None = None
+    did_overflow: Arr | None = None
+
+    @property
+    def idx(self) -> Arr:
+        return self.idx_
+
+    def _build(self, centers: Arr) -> tuple[Arr, Arr]:
+        n = centers.shape[0]
+        dr = self.displacement_fn(centers[:, None, :], centers[None, :, :])
+        dist2 = jnp.sum(dr * dr, axis=-1)
+        cut2 = (self.r_cutoff + self.dr_threshold) ** 2
+
+        iu = jnp.triu_indices(n, k=1)
+        hit = (dist2[iu] < cut2) & ~jnp.asarray(self.exclusion_mask)[iu]
+
+        # stable compaction: misses sort after hits, padded with index n
+        order = jnp.argsort(~hit)[: self.capacity]
+        valid = hit[order]
+        pair_i = jnp.where(valid, iu[0][order], n)
+        pair_j = jnp.where(valid, iu[1][order], n)
+        overflow = jnp.sum(hit) > self.capacity
+        return jnp.stack([pair_i, pair_j]), overflow
+
+    def allocate(self, centers: Arr) -> "FixedCapacityNeighborList":
+        idx, overflow = self._build(centers)
+        return self.replace(idx_=idx, did_overflow=overflow)
+
+    def update(self, centers: Arr) -> "FixedCapacityNeighborList":
+        idx, overflow = self._build(centers)
+        return self.replace(idx_=idx, did_overflow=self.did_overflow | overflow)
+
+
+def neighbor_list_for_topology(
+    displacement_fn: Callable,
+    topology,
+    r_cutoff: float,
+    dr_threshold: float = 0.2,
+    capacity: int | None = None,
+    capacity_multiplier: float = 1.25,
+    init_centers: Arr | None = None,
+) -> FixedCapacityNeighborList:
+    """Build a FixedCapacityNeighborList sized from initial positions."""
+    n = topology.n_nucleotides
+    mask = bonded_exclusion_mask(n, topology.bonded_neighbors)
+    nbl = FixedCapacityNeighborList(
+        displacement_fn=displacement_fn,
+        exclusion_mask=jnp.asarray(mask),
+        r_cutoff=r_cutoff,
+        dr_threshold=dr_threshold,
+        capacity=capacity or 0,
+    )
+    if capacity is None:
+        if init_centers is None:
+            raise ValueError("capacity or init_centers must be provided")
+        _, _ = nbl._build(init_centers)  # shape check
+        dr = displacement_fn(init_centers[:, None, :], init_centers[None, :, :])
+        dist2 = np.asarray(jnp.sum(dr * dr, axis=-1))
+        cut2 = (r_cutoff + dr_threshold) ** 2
+        iu = np.triu_indices(n, k=1)
+        hits = int(np.sum((dist2[iu] < cut2) & ~np.asarray(mask)[iu]))
+        cap = max(16, int(hits * capacity_multiplier))
+        nbl = nbl.replace(capacity=cap)
+    return nbl.allocate(init_centers) if init_centers is not None else nbl

@@ -1,0 +1,29 @@
+"""Alphabets and base-pair tables for nucleic-acid models.
+
+Parity reference: mythos/utils/constants.py:5-25.
+"""
+
+import numpy as np
+
+DNA_ALPHA = "ACGT"
+RNA_ALPHA = "ACGU"
+N_NT = len(DNA_ALPHA)
+
+#: map char -> index; U aliases T (index 3)
+NUCLEOTIDES_IDX: dict[str, int] = {nt: i for i, nt in enumerate(DNA_ALPHA)}
+NUCLEOTIDES_IDX.update({nt: i for i, nt in enumerate(RNA_ALPHA)})
+
+BP_TYPES = ["AT", "TA", "GC", "CG"]
+N_BP_TYPES = len(BP_TYPES)
+N_NT_PER_BP = 2
+
+#: (4, 2) nucleotide-index pairs for each base-pair type
+BP_IDXS = np.array([[DNA_ALPHA.index(a), DNA_ALPHA.index(b)] for a, b in BP_TYPES])
+
+BP_IDX_MAP = {
+    (DNA_ALPHA.index(a), DNA_ALPHA.index(b)): k for k, (a, b) in enumerate(BP_TYPES)
+}
+
+DEFAULT_TEMP = 296.15  # Kelvin
+
+TWO_DIMENSIONS = 2

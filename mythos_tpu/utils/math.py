@@ -1,0 +1,54 @@
+"""Numerics helpers: orientation conversions and smooth primitives.
+
+Parity reference: mythos/utils/math.py:9-88 (Euler/quaternion conversions used
+by the oxDNA trajectory reader, smooth_abs, clamp, row-wise dot).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from mythos_tpu.utils.types import ARR_OR_SCALAR, Arr, Scalar
+
+
+def principal_axes_to_euler_angles(x: Arr, y: Arr, z: Arr) -> tuple[Arr, Arr, Arr]:
+    """Tait-Bryan (ZYX) Euler angles from a set of principal axes.
+
+    The axes are the rows of the rotation matrix columns (x = first column of
+    R, i.e. the lab-frame image of e_x, etc.). Uses the arctan2 formulation for
+    numerical stability near the poles.
+    """
+    psi = np.arctan2(x[:, 1], x[:, 0])
+    theta = np.arcsin(-np.clip(x[:, 2], -1.0, 1.0))
+    phi = np.arctan2(y[:, 2], z[:, 2])
+    return psi, theta, phi
+
+
+def euler_angles_to_quaternion(psi: Arr, theta: Arr, phi: Arr) -> Arr:
+    """ZYX Euler angles -> unit quaternions, shape (N, 4) with scalar first."""
+    sp, cp = np.sin(0.5 * psi), np.cos(0.5 * psi)
+    st, ct = np.sin(0.5 * theta), np.cos(0.5 * theta)
+    sf, cf = np.sin(0.5 * phi), np.cos(0.5 * phi)
+
+    q0 = sp * st * sf + cp * ct * cf
+    q1 = -sp * st * cf + sf * cp * ct
+    q2 = sp * ct * sf + cp * st * cf
+    q3 = sp * ct * cf - cp * st * sf
+    return np.stack([q0, q1, q2, q3], axis=-1)
+
+
+def smooth_abs(x: ARR_OR_SCALAR, eps: Scalar = 1e-10) -> ARR_OR_SCALAR:
+    """|x| with continuous first derivatives (sqrt(x^2 + eps))."""
+    return jnp.sqrt(x**2 + eps)
+
+
+def clamp(x: ARR_OR_SCALAR, lo: Scalar = -1.0, hi: Scalar = 1.0) -> ARR_OR_SCALAR:
+    """Clamp into [lo, hi] using where (keeps gradients zero outside)."""
+    clipped = jnp.where(x >= hi, hi, x)
+    return jnp.where(clipped <= lo, lo, clipped)
+
+
+def mult(a: Arr, b: Arr) -> Arr:
+    """Row-wise dot product of two (N, 3) arrays -> (N,)."""
+    return jnp.sum(a * b, axis=-1)
