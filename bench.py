@@ -1,0 +1,65 @@
+"""Benchmark harness: Langevin throughput on the flagship oxDNA model.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The north-star target (BASELINE.json) is 1e6 Langevin steps/min for a
+10k-nt oxDNA2 system on one v5e chip; ``vs_baseline`` reports
+steps/min / 1e6 scaled by system size relative to 10k nt (a size-normalized
+nucleotide-steps/min ratio), so progress is comparable across rounds while
+the system size grows with the kernel work.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+N_BP = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+N_STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+
+TARGET_NT_STEPS_PER_MIN = 1e6 * 10_000  # 10k-nt at 1e6 steps/min
+
+
+def main() -> None:
+    from __graft_entry__ import _build_sim, _tiny_duplex
+
+    kT = 296.15 * 0.1 / 300.0
+    topology, body = _tiny_duplex(N_BP)
+    _, sim = _build_sim(topology, kT)
+
+    run = jax.jit(lambda p, k: sim.run(p, body, N_STEPS, k).observables[0].center)
+    params = sim.energy_fn.opt_params()
+
+    key = jax.random.PRNGKey(0)
+    out = run(params, key)
+    out.block_until_ready()  # compile + warm up
+
+    t0 = time.perf_counter()
+    reps = 3
+    for i in range(reps):
+        out = run(params, jax.random.PRNGKey(i + 1))
+    out.block_until_ready()
+    elapsed = (time.perf_counter() - t0) / reps
+
+    steps_per_min = N_STEPS / elapsed * 60.0
+    nt_steps_per_min = steps_per_min * topology.n_nucleotides
+    assert bool(jnp.all(jnp.isfinite(out))), "benchmark produced non-finite trajectory"
+
+    print(
+        json.dumps(
+            {
+                "metric": f"langevin_steps_per_min_oxdna1_{topology.n_nucleotides}nt",
+                "value": round(steps_per_min, 1),
+                "unit": "steps/min",
+                "vs_baseline": round(nt_steps_per_min / TARGET_NT_STEPS_PER_MIN, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

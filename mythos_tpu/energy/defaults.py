@@ -25,7 +25,6 @@ def default_configs_for(model: str) -> tuple[PyTree, PyTree]:
     def cast_f(x):
         return jnp.asarray(x, dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
 
-    return (
-        jax.tree.map(cast_f, toml.parse_toml(config_dir / "simulation.toml")),
-        jax.tree.map(cast_f, toml.parse_toml(config_dir / "energy.toml")),
-    )
+    sim_path = config_dir / "simulation.toml"
+    sim_config = jax.tree.map(cast_f, toml.parse_toml(sim_path)) if sim_path.exists() else {}
+    return sim_config, jax.tree.map(cast_f, toml.parse_toml(config_dir / "energy.toml"))

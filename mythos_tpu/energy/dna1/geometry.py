@@ -20,7 +20,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from mythos_tpu.energy.base import BaseNucleotide
-from mythos_tpu.utils.math import clamp
+from mythos_tpu.utils.math import safe_arccos
 from mythos_tpu.utils.types import Arr
 
 
@@ -31,13 +31,13 @@ def _safe(r: Arr, eps: float = 1e-12) -> Arr:
 
 
 def _angle(u: Arr, v: Arr) -> Arr:
-    """arccos of clamped row-wise dot."""
-    return jnp.arccos(clamp(jnp.sum(u * v, axis=-1)))
+    """NaN-safe arccos of the row-wise dot."""
+    return safe_arccos(jnp.sum(u * v, axis=-1))
 
 
 def _angle_dr(u: Arr, dr: Arr, r: Arr) -> Arr:
-    """arccos of clamped (u . dr) / r."""
-    return jnp.arccos(clamp(jnp.sum(u * dr, axis=-1) / _safe(r)))
+    """NaN-safe arccos of (u . dr) / r."""
+    return safe_arccos(jnp.sum(u * dr, axis=-1) / _safe(r))
 
 
 class BondedGeometry(NamedTuple):
@@ -58,10 +58,19 @@ class BondedGeometry(NamedTuple):
 
 
 def bonded_geometry(
-    nuc: BaseNucleotide, nn_i: Arr, nn_j: Arr, displacement_fn: Callable
+    nuc: BaseNucleotide,
+    nn_i: Arr,
+    nn_j: Arr,
+    displacement_fn: Callable,
+    back_sites: Arr | None = None,
 ) -> BondedGeometry:
-    """All geometry used by FENE / bonded-exc-vol / stacking in one pass."""
-    back_i, back_j = nuc.back_sites[nn_i], nuc.back_sites[nn_j]
+    """All geometry used by FENE / bonded-exc-vol / stacking in one pass.
+
+    ``back_sites`` overrides the backbone-site array (oxDNA2 stacking uses the
+    dna1-compatible backbone site, mythos/energy/dna2/stacking.py:27-29).
+    """
+    bs = nuc.back_sites if back_sites is None else back_sites
+    back_i, back_j = bs[nn_i], bs[nn_j]
     base_i, base_j = nuc.base_sites[nn_i], nuc.base_sites[nn_j]
     n_i, n_j = nuc.base_normals[nn_i], nuc.base_normals[nn_j]
 

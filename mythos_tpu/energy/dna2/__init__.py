@@ -1,0 +1,152 @@
+"""oxDNA2 model package.
+
+Parity reference: mythos/energy/dna2/__init__.py:10-120. Shares Fene,
+excluded volumes, HB and cross-stacking with dna1; adds the site-override
+stacking, the f4+f6 coaxial stacking, and Debye-Hueckel electrostatics.
+"""
+
+from __future__ import annotations
+
+import functools
+from types import MappingProxyType
+
+from mythos_tpu.energy import DEFAULT_DISPLACEMENT
+from mythos_tpu.energy.base import BaseEnergyFunction, ComposedEnergyFunction, EnergyFunction
+from mythos_tpu.energy.configuration import BaseConfiguration
+from mythos_tpu.energy.defaults import default_configs_for
+from mythos_tpu.energy.dna1.terms import (
+    BondedExcludedVolume,
+    BondedExcludedVolumeConfiguration,
+    CrossStacking,
+    CrossStackingConfiguration,
+    Fene,
+    FeneConfiguration,
+    HydrogenBonding,
+    HydrogenBondingConfiguration,
+    StackingConfiguration,
+    UnbondedExcludedVolume,
+    UnbondedExcludedVolumeConfiguration,
+)
+from mythos_tpu.energy.dna2.nucleotide import Nucleotide
+from mythos_tpu.energy.dna2.terms import (
+    CoaxialStacking,
+    CoaxialStackingConfiguration,
+    Debye,
+    DebyeConfiguration,
+    Stacking,
+)
+from mythos_tpu.io.topology import Topology
+from mythos_tpu.utils.types import PyTree
+
+
+def default_configs() -> tuple[PyTree, PyTree]:
+    """(simulation, energy) default configuration trees for dna2."""
+    return default_configs_for("dna2")
+
+
+def default_energy_configs(
+    overrides: dict = MappingProxyType({}), opts: dict = MappingProxyType({})
+) -> list[BaseConfiguration]:
+    """Default per-term configurations, with optional overrides."""
+    default_sim_config, default_config = default_configs()
+
+    def get_param(x: str) -> dict:
+        return default_config[x] | overrides.get(x, {})
+
+    def get_opts(x: str, defaults: tuple[str, ...] = BaseConfiguration.OPT_ALL) -> tuple[str, ...]:
+        return opts.get(x, defaults)
+
+    stacking_opts = tuple(set(default_config["stacking"].keys()) - {"kT", "ss_stack_weights"})
+    debye_opts = tuple(set(default_config["debye"].keys()) - {"kT", "salt_conc"})
+    debye_overrides = {
+        "kt": overrides.get("kT", default_sim_config["kT"]),
+        "salt_conc": overrides.get("salt_conc", default_sim_config["salt_conc"]),
+        "half_charged_ends": overrides.get(
+            "half_charged_ends", bool(default_sim_config["half_charged_ends"])
+        ),
+    }
+
+    return [
+        FeneConfiguration.from_dict(get_param("fene"), get_opts("fene")),
+        BondedExcludedVolumeConfiguration.from_dict(
+            get_param("bonded_excluded_volume"), get_opts("bonded_excluded_volume")
+        ),
+        StackingConfiguration.from_dict(
+            get_param("stacking") | {"kt": overrides.get("kT", default_sim_config["kT"])},
+            get_opts("stacking", stacking_opts),
+        ),
+        UnbondedExcludedVolumeConfiguration.from_dict(
+            get_param("unbonded_excluded_volume"), get_opts("unbonded_excluded_volume")
+        ),
+        HydrogenBondingConfiguration.from_dict(get_param("hydrogen_bonding"), get_opts("hydrogen_bonding")),
+        CrossStackingConfiguration.from_dict(get_param("cross_stacking"), get_opts("cross_stacking")),
+        CoaxialStackingConfiguration.from_dict(get_param("coaxial_stacking"), get_opts("coaxial_stacking")),
+        DebyeConfiguration.from_dict(get_param("debye") | debye_overrides, get_opts("debye", debye_opts)),
+    ]
+
+
+def default_energy_fns() -> list[type[BaseEnergyFunction]]:
+    """Term classes, in the order matching default_energy_configs."""
+    return [
+        Fene,
+        BondedExcludedVolume,
+        Stacking,
+        UnbondedExcludedVolume,
+        HydrogenBonding,
+        CrossStacking,
+        CoaxialStacking,
+        Debye,
+    ]
+
+
+def default_transform_fn() -> callable:
+    """RigidBody -> dna2 Nucleotide transform with default geometry."""
+    _, default_config = default_configs()
+    geometry = default_config["geometry"]
+    return functools.partial(
+        Nucleotide.from_rigid_body,
+        com_to_backbone_x=geometry["com_to_backbone_x"],
+        com_to_backbone_y=geometry["com_to_backbone_y"],
+        com_to_backbone_dna1=geometry["com_to_backbone_dna1"],
+        com_to_hb=geometry["com_to_hb"],
+        com_to_stacking=geometry["com_to_stacking"],
+    )
+
+
+def create_default_energy_fn(
+    topology: Topology, displacement_fn: callable = DEFAULT_DISPLACEMENT
+) -> EnergyFunction:
+    """The full default oxDNA2 composed energy function for a topology."""
+    return ComposedEnergyFunction.from_lists(
+        energy_fns=default_energy_fns(),
+        energy_configs=default_energy_configs(),
+        transform_fn=default_transform_fn(),
+        displacement_fn=displacement_fn,
+        topology=topology,
+    )
+
+
+__all__ = [
+    "BondedExcludedVolume",
+    "BondedExcludedVolumeConfiguration",
+    "CoaxialStacking",
+    "CoaxialStackingConfiguration",
+    "CrossStacking",
+    "CrossStackingConfiguration",
+    "Debye",
+    "DebyeConfiguration",
+    "Fene",
+    "FeneConfiguration",
+    "HydrogenBonding",
+    "HydrogenBondingConfiguration",
+    "Nucleotide",
+    "Stacking",
+    "StackingConfiguration",
+    "UnbondedExcludedVolume",
+    "UnbondedExcludedVolumeConfiguration",
+    "create_default_energy_fn",
+    "default_configs",
+    "default_energy_configs",
+    "default_energy_fns",
+    "default_transform_fn",
+]

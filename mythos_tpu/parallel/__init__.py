@@ -1,0 +1,16 @@
+"""Mesh parallelism: replica batching and state-axis sharding.
+
+This replaces the reference's Ray-based replica/task parallelism
+(mythos/optimization/optimization.py:151-336) for the differentiable path:
+independent simulators (seeds/temperatures) become one shard_mapped program
+over a device mesh with psum gradient aggregation over ICI.
+"""
+
+from mythos_tpu.parallel.replica import (
+    make_mesh,
+    replica_grad_fn,
+    replica_run_fn,
+    sharded_energy_map,
+)
+
+__all__ = ["make_mesh", "replica_grad_fn", "replica_run_fn", "sharded_energy_map"]

@@ -49,6 +49,20 @@ def clamp(x: ARR_OR_SCALAR, lo: Scalar = -1.0, hi: Scalar = 1.0) -> ARR_OR_SCALA
     return jnp.where(clipped <= lo, lo, clipped)
 
 
+def safe_arccos(x: ARR_OR_SCALAR) -> ARR_OR_SCALAR:
+    """arccos of a cosine-valued expression, NaN-free under autodiff.
+
+    ``arccos(clamp(x))`` has an inf * 0 = NaN gradient exactly at |x| = 1
+    (arccos' diverges where the clamp's derivative is zero). Clamping strictly
+    inside (-1, 1) by a few dtype ulps keeps arccos' finite there, so the
+    constant clamp branch zeroes the gradient cleanly. The value changes by
+    at most arccos(1 - 8 eps) ~ 1e-7 (f64) / 1e-3 (f32) at the boundary
+    itself, where every modulation factor is anyway evaluated on a plateau.
+    """
+    eps = 8 * jnp.finfo(jnp.result_type(x, jnp.float32)).eps
+    return jnp.arccos(clamp(x, -1.0 + eps, 1.0 - eps))
+
+
 def mult(a: Arr, b: Arr) -> Arr:
     """Row-wise dot product of two (N, 3) arrays -> (N,)."""
     return jnp.sum(a * b, axis=-1)
