@@ -179,10 +179,18 @@ def build_run_fn(
             **simulator_params.init_fn,
         )
 
+        # A static pair list need not ride the scan carry: keeping it closed
+        # over lets XLA treat the gather indices as constants.
+        from mythos_tpu.simulators.neighbors import NoNeighborList
+
+        static_nbrs = isinstance(neighbors, NoNeighborList)
+
         def one_step(carry, step_idx):
             state, nbrs = carry
             state = step_fn(state, unbonded_neighbors=nbrs.idx, **simulator_params.step_fn)
-            if neighbor_update_every <= 1:
+            if static_nbrs:
+                pass
+            elif neighbor_update_every <= 1:
                 nbrs = nbrs.update(state.position.center)
             else:
                 do_update = (step_idx % neighbor_update_every) == 0
@@ -196,22 +204,42 @@ def build_run_fn(
                 )
             return (state, nbrs), None
 
+        if static_nbrs:
+            # close over the list; carry only the integrator state
+            def one_step_static(state, step_idx):
+                (state, _), _ = one_step((state, nbrs0), step_idx)
+                return state, None
+
+            carry0 = state
+
+            def step_adapter(carry, x):
+                return one_step_static(carry, x)
+
+            def position_of(carry):
+                return carry.position
+        else:
+            carry0 = (state, nbrs0)
+            step_adapter = one_step
+
+            def position_of(carry):
+                return carry[0].position
+
         if save_every <= 1:
 
             def apply_fn(carry, step_idx):
-                carry, _ = one_step(carry, step_idx)
-                return carry, carry[0].position
+                carry, _ = step_adapter(carry, step_idx)
+                return carry, position_of(carry)
 
-            _, trajectory = scan_fn(apply_fn, (state, nbrs0), jnp.arange(n_steps))
+            _, trajectory = scan_fn(apply_fn, carry0, jnp.arange(n_steps))
             n_states = n_steps
         else:
 
             def apply_fn(carry, chunk):
-                carry, _ = jax.lax.scan(one_step, carry, chunk)
-                return carry, carry[0].position
+                carry, _ = jax.lax.scan(step_adapter, carry, chunk)
+                return carry, position_of(carry)
 
             steps = jnp.arange(n_steps).reshape(n_steps // save_every, save_every)
-            _, trajectory = scan_fn(apply_fn, (state, nbrs0), steps)
+            _, trajectory = scan_fn(apply_fn, carry0, steps)
             n_states = n_steps // save_every
 
         traj = sio.SimulatorTrajectory.from_rigid_body(

@@ -7,7 +7,10 @@ the TPU path itself is exercised by bench.py and __graft_entry__.py.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the session environment may preset JAX_PLATFORMS to a TPU
+# plugin, and numerical tests need true float64 (and local execution)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["MYTHOS_TPU_PALLAS_INTERPRET"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -73,7 +73,7 @@ def build_term(term: str, topology, params, displacement_fn):
     if term == "stacking":
         kwargs["kt"] = KT_296
     if term == "debye":
-        kwargs.update({"kt": KT_296, "salt_conc": 1.0, "half_charged_ends": False})
+        kwargs.update({"kt": KT_296, "salt_conc": 0.5, "half_charged_ends": False})
     return cls(
         displacement_fn=displacement_fn,
         transform_fn=na1.default_transform_fn(),
