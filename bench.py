@@ -18,7 +18,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-N_BP = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+N_BP = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 N_STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
 
 TARGET_NT_STEPS_PER_MIN = 1e6 * 10_000  # 10k-nt at 1e6 steps/min

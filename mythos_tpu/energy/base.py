@@ -114,6 +114,9 @@ class BaseEnergyFunction(EnergyFunction):
     unbonded_neighbors: Arr | None = None
     topology: InitVar[Topology | None] = None
     transform_fn: Callable | None = None
+    #: optional (N, N) mask enabling the dense gather-free unbonded path
+    #: (True where the i<j pair interacts); see energy/dna1/geometry.py
+    dense_mask: Arr | None = None
 
     def __post_init__(self, topology: Topology | None) -> None:
         if topology:
@@ -122,8 +125,13 @@ class BaseEnergyFunction(EnergyFunction):
             seq = topology.seq if isinstance(topology.seq, tuple) else jnp.asarray(topology.seq)
             object.__setattr__(self, "seq", seq)
             object.__setattr__(self, "bonded_neighbors", jnp.asarray(topology.bonded_neighbors))
-            object.__setattr__(self, "unbonded_neighbors", jnp.asarray(topology.unbonded_neighbors).T)
-        elif any(x is None for x in (self.seq, self.bonded_neighbors, self.unbonded_neighbors)):
+            if self.dense_mask is None:
+                object.__setattr__(
+                    self, "unbonded_neighbors", jnp.asarray(topology.unbonded_neighbors).T
+                )
+        elif self.seq is None or self.bonded_neighbors is None:
+            raise ValueError(ERR_MISSING_TOPOLOGY)
+        elif self.unbonded_neighbors is None and self.dense_mask is None:
             raise ValueError(ERR_MISSING_TOPOLOGY)
         elif isinstance(self.seq, np.ndarray):
             object.__setattr__(self, "seq", jnp.asarray(self.seq))

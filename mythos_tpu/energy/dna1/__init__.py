@@ -97,15 +97,30 @@ def default_transform_fn() -> callable:
 
 
 def create_default_energy_fn(
-    topology: Topology, displacement_fn: callable = DEFAULT_DISPLACEMENT
+    topology: Topology,
+    displacement_fn: callable = DEFAULT_DISPLACEMENT,
+    dense_unbonded: bool = False,
 ) -> EnergyFunction:
-    """The full default oxDNA1 composed energy function for a topology."""
+    """The full default oxDNA1 composed energy function for a topology.
+
+    ``dense_unbonded=True`` evaluates unbonded terms over dense (N, N) masks
+    instead of pair index lists -- the gather-free TPU fast path (pair with
+    simulators.DensePairs).
+    """
+    kwargs = {}
+    if dense_unbonded:
+        import jax.numpy as jnp
+
+        from mythos_tpu.simulators.neighbors import dense_pair_mask
+
+        kwargs["dense_mask"] = jnp.asarray(dense_pair_mask(topology))
     return ComposedEnergyFunction.from_lists(
         energy_fns=default_energy_fns(),
         energy_configs=default_energy_configs(),
         transform_fn=default_transform_fn(),
         displacement_fn=displacement_fn,
         topology=topology,
+        **kwargs,
     )
 
 

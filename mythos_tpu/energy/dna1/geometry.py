@@ -141,6 +141,88 @@ def unbonded_geometry(
     )
 
 
+def unbonded_geometry_dense(
+    nuc_i: BaseNucleotide,
+    nuc_j: BaseNucleotide,
+    displacement_fn: Callable,
+) -> UnbondedGeometry:
+    """Dense (N, N) variant of unbonded_geometry: no index gathers.
+
+    TPU gathers are the dominant cost of the pair-list path (profiled at
+    ~70% of the energy evaluation); broadcasting the per-nucleotide site
+    arrays instead turns the whole angle set into vectorized (N, N) math.
+    dr[i, j] = displacement(site_j, site_i), matching the pair-list
+    convention.
+    """
+    a1_i = nuc_i.back_base_vectors
+    a1_j = nuc_j.back_base_vectors
+    n_i = nuc_i.base_normals
+    n_j = nuc_j.base_normals
+
+    dr_base = displacement_fn(nuc_j.base_sites[None, :, :], nuc_i.base_sites[:, None, :])
+    # epsilon inside the sqrt keeps the diagonal's gradient finite (r=0 there)
+    r_base = jnp.sqrt(jnp.sum(dr_base * dr_base, axis=-1) + 1e-18)
+    inv_r = 1.0 / _safe(r_base)
+
+    # frame-frame angles are plain (N,3)@(3,N) contractions (MXU)
+    theta1 = safe_arccos(-jnp.einsum("id,jd->ij", a1_i, a1_j))
+    theta4 = safe_arccos(jnp.einsum("id,jd->ij", n_i, n_j))
+    # frame-dr angles contract the (N,N,3) displacement field once each
+    theta2 = safe_arccos(-jnp.einsum("jd,ijd->ij", a1_j, dr_base) * inv_r)
+    theta3 = safe_arccos(jnp.einsum("id,ijd->ij", a1_i, dr_base) * inv_r)
+    theta7 = safe_arccos(-jnp.einsum("jd,ijd->ij", n_j, dr_base) * inv_r)
+    theta8 = jnp.pi - safe_arccos(jnp.einsum("id,ijd->ij", n_i, dr_base) * inv_r)
+
+    return UnbondedGeometry(
+        dr_base=dr_base,
+        r_base=r_base,
+        theta1=theta1,
+        theta2=theta2,
+        theta3=theta3,
+        theta4=theta4,
+        theta7=theta7,
+        theta8=theta8,
+    )
+
+
+def coax_geometry_dense(
+    nuc_i: BaseNucleotide,
+    nuc_j: BaseNucleotide,
+    displacement_fn: Callable,
+) -> CoaxGeometry:
+    """Dense (N, N) variant of coax_geometry."""
+    a1_i = nuc_i.back_base_vectors
+    a1_j = nuc_j.back_base_vectors
+    n_i = nuc_i.base_normals
+    n_j = nuc_j.base_normals
+
+    dr_stack = displacement_fn(nuc_j.stack_sites[None, :, :], nuc_i.stack_sites[:, None, :])
+    r_stack = jnp.sqrt(jnp.sum(dr_stack * dr_stack, axis=-1) + 1e-18)
+    dr_stack_norm = dr_stack * (1.0 / _safe(r_stack))[..., None]
+
+    dr_back = displacement_fn(nuc_j.back_sites[None, :, :], nuc_i.back_sites[:, None, :])
+    r_back = jnp.sqrt(jnp.sum(dr_back * dr_back, axis=-1) + 1e-18)
+    dr_back_norm = dr_back * (1.0 / _safe(r_back))[..., None]
+
+    theta1 = safe_arccos(-jnp.einsum("id,jd->ij", a1_i, a1_j))
+    theta4 = safe_arccos(jnp.einsum("id,jd->ij", n_i, n_j))
+    theta5 = safe_arccos(jnp.einsum("id,ijd->ij", n_i, dr_stack_norm))
+    theta6 = safe_arccos(-jnp.einsum("jd,ijd->ij", n_j, dr_stack_norm))
+    cosphi3 = jnp.einsum("ijd,ijd->ij", dr_stack_norm, jnp.cross(dr_back_norm, a1_j[None, :, :]))
+    cosphi4 = jnp.einsum("ijd,ijd->ij", dr_stack_norm, jnp.cross(dr_back_norm, a1_i[:, None, :]))
+
+    return CoaxGeometry(
+        dr_stack=dr_stack,
+        r_stack=r_stack,
+        theta1=theta1,
+        theta4=theta4,
+        theta5=theta5,
+        theta6=theta6,
+        cosphi3=cosphi3,
+        cosphi4=cosphi4,
+    )
+
+
 class CoaxGeometry(NamedTuple):
     """Geometry for coaxial stacking (stack/backbone-site centric)."""
 

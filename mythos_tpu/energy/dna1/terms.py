@@ -19,6 +19,7 @@ Implementation differences vs the reference (TPU-first):
 from __future__ import annotations
 
 import chex
+import jax
 import jax.numpy as jnp
 
 import mythos_tpu.energy.functions as bf
@@ -78,9 +79,18 @@ def _safe_div(num: Arr, r: Arr, eps: float = 1e-12) -> Arr:
     return num / jnp.where(r > eps, r, 1.0)
 
 
+def _norm_safe(dr: Arr) -> Arr:
+    """Norm with an epsilon inside the sqrt: zero-distance (diagonal/padded)
+    entries keep finite gradients."""
+    return jnp.sqrt(jnp.sum(dr * dr, axis=-1) + 1e-18)
+
+
 def _exc_vol_f3(r: Arr, eps_exc, dr_star, sigma, b, dr_c) -> Arr:
-    """f3 with the radius guarded away from zero (padded entries)."""
-    return bf.f3(jnp.maximum(r, 1e-8), r_star=dr_star, r_c=dr_c, eps=eps_exc, sigma=sigma, b=b)
+    """f3 with the radius floored at 1e-2: (sigma/r)^12 must stay finite in
+    float32 even for masked zero-distance (diagonal/padded) entries, or their
+    inf NaN-poisons gradients through the jnp.where. Physical pairs never
+    get near the floor (the excluded volume wall is ~0.3)."""
+    return bf.f3(jnp.maximum(r, 1e-2), r_star=dr_star, r_c=dr_c, eps=eps_exc, sigma=sigma, b=b)
 
 
 # FENE -------------------------------------------------------------------------
@@ -177,10 +187,10 @@ def _exc_vol_three_sites(p, dr_base: Arr, dr_back_base: Arr, dr_base_back: Arr) 
     """Shared base/back-base/base-back f3 sum (bonded and unbonded exc vol)."""
     return (
         _exc_vol_f3(
-            jnp.linalg.norm(dr_base, axis=-1), p.eps_exc, p.dr_star_base, p.sigma_base, p.b_base, p.dr_c_base
+            _norm_safe(dr_base), p.eps_exc, p.dr_star_base, p.sigma_base, p.b_base, p.dr_c_base
         )
         + _exc_vol_f3(
-            jnp.linalg.norm(dr_back_base, axis=-1),
+            _norm_safe(dr_back_base),
             p.eps_exc,
             p.dr_star_back_base,
             p.sigma_back_base,
@@ -188,7 +198,7 @@ def _exc_vol_three_sites(p, dr_base: Arr, dr_back_base: Arr, dr_base_back: Arr) 
             p.dr_c_back_base,
         )
         + _exc_vol_f3(
-            jnp.linalg.norm(dr_base_back, axis=-1),
+            _norm_safe(dr_base_back),
             p.eps_exc,
             p.dr_star_base_back,
             p.sigma_base_back,
@@ -305,7 +315,27 @@ class UnbondedExcludedVolume(BaseEnergyFunction):
         )
         return jnp.where(op_i < n, val, 0.0)
 
+    def dense_energies(self, nuc_i: BaseNucleotide, nuc_j: BaseNucleotide) -> Arr:
+        """(N, N) energies via broadcasts (gather-free dense path)."""
+        d = self.displacement_fn
+        p = self.params
+        base_i, base_j = nuc_i.base_sites[:, None, :], nuc_j.base_sites[None, :, :]
+        back_i, back_j = nuc_i.back_sites[:, None, :], nuc_j.back_sites[None, :, :]
+        return _exc_vol_three_sites(
+            p, d(base_j, base_i), d(base_j, back_i), d(back_j, base_i)
+        ) + _exc_vol_f3(
+            _norm_safe(d(back_j, back_i)),
+            p.eps_exc,
+            p.dr_star_backbone,
+            p.sigma_backbone,
+            p.b_backbone,
+            p.dr_c_backbone,
+        )
+
     def compute_energy(self, nucleotide: BaseNucleotide) -> Scalar:
+        if self.dense_mask is not None:
+            vals = self.dense_energies(nucleotide, nucleotide)
+            return jnp.where(self.dense_mask, vals, 0.0).sum()
         return self.pairwise_energies(nucleotide, nucleotide, self.unbonded_neighbors).sum()
 
 
@@ -666,7 +696,25 @@ class HydrogenBonding(BaseEnergyFunction):
             weights = self.params.eps_hb_weights[seq[op_i], seq[op_j]]
         return weights * v_hb
 
+    def _dense_weights(self, seq) -> Arr:
+        """(N, N) sequence weights as one-hot contractions against the table."""
+        if self.params.pseq:
+            marg = seqdep.nucleotide_marginals(self.params.pseq, self.params.pseq_constraints)
+            # independent-pair expectation; the same-bp correction involves
+            # only h-bonded partners, handled exactly by pair_weights -- the
+            # dense path assumes i<j unbonded pairs where the correction
+            # applies to the (rare) same-bp pairs; fall back there.
+            raise NotImplementedError(
+                "probabilistic sequences use the pair-list path (dense_mask=None)"
+            )
+        onehot = jax.nn.one_hot(seq, 4, dtype=self.params.eps_hb_weights.dtype)
+        return onehot @ self.params.eps_hb_weights @ onehot.T
+
     def compute_energy(self, nucleotide: BaseNucleotide) -> Scalar:
+        if self.dense_mask is not None:
+            g = geom.unbonded_geometry_dense(nucleotide, nucleotide, self.displacement_fn)
+            vals = self.hb_product(g) * self._dense_weights(self.seq)
+            return jnp.where(self.dense_mask, vals, 0.0).sum()
         return self.pairwise_energies(nucleotide, nucleotide, self.seq, self.unbonded_neighbors).sum()
 
 
@@ -831,6 +879,9 @@ class CrossStacking(BaseEnergyFunction):
         return jnp.where(op_i < n, self.cross_product_term(g), 0.0)
 
     def compute_energy(self, nucleotide: BaseNucleotide) -> Scalar:
+        if self.dense_mask is not None:
+            g = geom.unbonded_geometry_dense(nucleotide, nucleotide, self.displacement_fn)
+            return jnp.where(self.dense_mask, self.cross_product_term(g), 0.0).sum()
         return self.pairwise_energies(nucleotide, nucleotide, self.unbonded_neighbors).sum()
 
 
@@ -996,4 +1047,7 @@ class CoaxialStacking(BaseEnergyFunction):
         return jnp.where(op_i < n, self.coax_product(g), 0.0)
 
     def compute_energy(self, nucleotide: BaseNucleotide) -> Scalar:
+        if self.dense_mask is not None:
+            g = geom.coax_geometry_dense(nucleotide, nucleotide, self.displacement_fn)
+            return jnp.where(self.dense_mask, self.coax_product(g), 0.0).sum()
         return self.pairwise_energies(nucleotide, nucleotide, self.unbonded_neighbors).sum()

@@ -181,7 +181,32 @@ class CoaxialStacking(BaseEnergyFunction):
         )
         return jnp.where(op_i < n, val, 0.0)
 
+    def _coax_value(self, g) -> Arr:
+        p = self.params
+        f2_r = bf.f2(
+            jnp.maximum(g.r_stack, 1e-8),
+            r_low=p.dr_low_coax,
+            r_high=p.dr_high_coax,
+            r_c_low=p.dr_c_low_coax,
+            r_c_high=p.dr_c_high_coax,
+            k=p.k_coax,
+            r0=p.dr0_coax,
+            r_c=p.dr_c_coax,
+            b_low=p.b_low_coax,
+            b_high=p.b_high_coax,
+        )
+        return (
+            f2_r
+            * self._f4(4, g.theta4)
+            * (self._f4(1, g.theta1) + bf.f6(g.theta1, p.a_coax_1_f6, p.b_coax_1_f6))
+            * (self._f4(5, g.theta5) + self._f4(5, jnp.pi - g.theta5))
+            * (self._f4(6, g.theta6) + self._f4(6, jnp.pi - g.theta6))
+        )
+
     def compute_energy(self, nucleotide: Nucleotide) -> Scalar:
+        if self.dense_mask is not None:
+            g = geom.coax_geometry_dense(nucleotide, nucleotide, self.displacement_fn)
+            return jnp.where(self.dense_mask, self._coax_value(g), 0.0).sum()
         return self.pairwise_energies(nucleotide, nucleotide, self.unbonded_neighbors).sum()
 
 
@@ -294,5 +319,19 @@ class Debye(BaseEnergyFunction):
         mults = jnp.where(p.half_charged_ends, end_i * end_j, 1.0)
         return dgs * mults
 
+    def dense_energies(self, nuc_i, nuc_j) -> Arr:
+        """(N, N) Debye energies via broadcasts (gather-free dense path)."""
+        p = self.params
+        dr = self.displacement_fn(nuc_j.back_sites[None, :, :], nuc_i.back_sites[:, None, :])
+        # epsilon inside the sqrt keeps the diagonal's gradient finite
+        r = jnp.sqrt(jnp.sum(dr * dr, axis=-1) + 1e-18)
+        dgs = debye_potential(r, p.kappa, p.prefactor, p.smoothing_coeff, p.r_cut, p.r_high)
+        ends = jnp.where(jnp.asarray(self.is_end), 0.5, 1.0)
+        mults = jnp.where(p.half_charged_ends, ends[:, None] * ends[None, :], 1.0)
+        return dgs * mults
+
     def compute_energy(self, nucleotide) -> Scalar:
+        if self.dense_mask is not None:
+            vals = self.dense_energies(nucleotide, nucleotide)
+            return jnp.where(self.dense_mask, vals, 0.0).sum()
         return self.pairwise_energies(nucleotide, nucleotide, self.unbonded_neighbors).sum()

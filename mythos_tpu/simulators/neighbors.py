@@ -75,6 +75,32 @@ def bonded_exclusion_mask(n: int, bonded_neighbors: np.ndarray) -> np.ndarray:
     return mask
 
 
+def dense_pair_mask(topology) -> np.ndarray:
+    """(N, N) upper-triangular unbonded-pair mask for the dense energy path."""
+    n = topology.n_nucleotides
+    excluded = bonded_exclusion_mask(n, topology.bonded_neighbors)
+    return np.triu(~excluded, k=1)
+
+
+@chex.dataclass
+class DensePairs:
+    """Neighbor strategy marker for the dense (N, N) energy path.
+
+    The energy terms carry the (constant) dense mask themselves; there is
+    nothing to rebuild, and the simulator skips neighbor plumbing entirely.
+    """
+
+    @property
+    def idx(self) -> None:
+        return None
+
+    def allocate(self, centers: Arr) -> "DensePairs":
+        return self
+
+    def update(self, centers: Arr) -> "DensePairs":
+        return self
+
+
 @chex.dataclass
 class FixedCapacityNeighborList:
     """Distance-culled unbonded pairs with static capacity.

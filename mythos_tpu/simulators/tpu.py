@@ -166,8 +166,16 @@ def build_run_fn(
         # so gradients flow through the derivation.
         updated_energy_fn = energy_fn.with_params(opt_params)
 
-        def _energy_fn(body: RigidBody, unbonded_neighbors: Arr) -> Scalar:
-            return updated_energy_fn.with_props(unbonded_neighbors=unbonded_neighbors)(body)
+        from mythos_tpu.simulators.neighbors import DensePairs
+
+        if isinstance(neighbors, DensePairs):
+            # dense path: the terms carry their (constant) pair masks
+            def _energy_fn(body: RigidBody, unbonded_neighbors=None) -> Scalar:
+                return updated_energy_fn(body)
+        else:
+
+            def _energy_fn(body: RigidBody, unbonded_neighbors: Arr) -> Scalar:
+                return updated_energy_fn.with_props(unbonded_neighbors=unbonded_neighbors)(body)
 
         init_fn, step_fn = simulator_init(_energy_fn, shift_fn, **simulator_params.sim_init_fn)
 
@@ -183,7 +191,7 @@ def build_run_fn(
         # over lets XLA treat the gather indices as constants.
         from mythos_tpu.simulators.neighbors import NoNeighborList
 
-        static_nbrs = isinstance(neighbors, NoNeighborList)
+        static_nbrs = isinstance(neighbors, (NoNeighborList, DensePairs))
 
         def one_step(carry, step_idx):
             state, nbrs = carry
