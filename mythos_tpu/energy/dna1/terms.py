@@ -440,7 +440,9 @@ class StackingConfiguration(BaseConfiguration):
         if self.ss_stack_weights is None:
             eps_stack = (self.eps_stack_base + self.eps_stack_kt_coeff * self.kt) * STACK_WEIGHTS_SA
         else:
-            eps_stack = self.ss_stack_weights * (
+            # jnp so the 4x4 table stays indexable by traced sequences (e.g.
+            # under jax.checkpoint in EnergyFunction.map).
+            eps_stack = jnp.asarray(self.ss_stack_weights) * (
                 1.0 - self.eps_stack_kt_coeff + (self.kt * 9.0 * self.eps_stack_kt_coeff)
             )
 
@@ -624,7 +626,11 @@ class HydrogenBondingConfiguration(BaseConfiguration):
         if self.pseq is not None and self.pseq_constraints is None:
             raise ValueError(ERR_PSEQ_CONSTRAINTS)
 
-        eps_hb_weights = HB_WEIGHTS_SA * self.eps_hb if self.ss_hb_weights is None else self.ss_hb_weights
+        eps_hb_weights = (
+            HB_WEIGHTS_SA * self.eps_hb
+            if self.ss_hb_weights is None
+            else jnp.asarray(self.ss_hb_weights)
+        )
 
         b_low, dr_c_low, b_high, dr_c_high = sm.get_f1_smoothing_params(
             self.dr0_hb, self.a_hb, self.dr_c_hb, self.dr_low_hb, self.dr_high_hb
