@@ -117,6 +117,12 @@ class BaseEnergyFunction(EnergyFunction):
     #: optional (N, N) mask enabling the dense gather-free unbonded path
     #: (True where the i<j pair interacts); see energy/dna1/geometry.py
     dense_mask: Arr | None = None
+    #: optional (n_blocks, K) block-neighbor table enabling the block-sparse
+    #: tile path (see energy/blocks.py); rebuilt in the hot loop via
+    #: ``with_props(block_ids=...)``
+    block_ids: Arr | None = None
+    #: rows per block for the block-sparse path (static)
+    block_size: int = 64
 
     def __post_init__(self, topology: Topology | None) -> None:
         if topology:
@@ -125,13 +131,17 @@ class BaseEnergyFunction(EnergyFunction):
             seq = topology.seq if isinstance(topology.seq, tuple) else jnp.asarray(topology.seq)
             object.__setattr__(self, "seq", seq)
             object.__setattr__(self, "bonded_neighbors", jnp.asarray(topology.bonded_neighbors))
-            if self.dense_mask is None:
+            if self.dense_mask is None and self.block_ids is None:
                 object.__setattr__(
                     self, "unbonded_neighbors", jnp.asarray(topology.unbonded_neighbors).T
                 )
         elif self.seq is None or self.bonded_neighbors is None:
             raise ValueError(ERR_MISSING_TOPOLOGY)
-        elif self.unbonded_neighbors is None and self.dense_mask is None:
+        elif (
+            self.unbonded_neighbors is None
+            and self.dense_mask is None
+            and self.block_ids is None
+        ):
             raise ValueError(ERR_MISSING_TOPOLOGY)
         elif isinstance(self.seq, np.ndarray):
             object.__setattr__(self, "seq", jnp.asarray(self.seq))
@@ -185,6 +195,15 @@ class BaseEnergyFunction(EnergyFunction):
         if self.transform_fn:
             body = self.transform_fn(body)
         return self.compute_energy(body)
+
+    def pair_cutoff(self) -> float | None:
+        """Max site-site distance with nonzero energy (None: not unbonded).
+
+        Unbonded terms override this; neighbor lists add the site offsets to
+        convert it to a center-of-mass cutoff (see
+        simulators.neighbors.block_neighbor_list_for_topology).
+        """
+        return None
 
     @abstractmethod
     def compute_energy(self, nucleotide: BaseNucleotide) -> Scalar:
@@ -262,6 +281,11 @@ class ComposedEnergyFunction(EnergyFunction):
             )
             params.update({self._rename_param_from_fn(k, fn): v for k, v in fn_params.items()})
         return params
+
+    def pair_cutoff(self) -> float | None:
+        """Max member cutoff (None if no member is an unbonded pair term)."""
+        cutoffs = [c for fn in self.energy_fns if (c := fn.pair_cutoff()) is not None]
+        return max(cutoffs) if cutoffs else None
 
     def compute_terms(self, body: RigidBody) -> Arr:
         """Each member's energy; each distinct transform runs exactly once."""

@@ -96,19 +96,63 @@ def default_transform_fn() -> callable:
     )
 
 
+def max_site_offset() -> float:
+    """Largest |site - COM| offset in the default dna1 geometry.
+
+    Converts a site-site interaction cutoff (EnergyFunction.pair_cutoff) into
+    a COM-COM neighbor-list cutoff: r_com <= r_site + 2 * max_site_offset.
+    """
+    _, default_config = default_configs()
+    return max(abs(float(v)) for v in default_config["geometry"].values())
+
+
+def default_neighbor_cutoff(energy_fn: EnergyFunction | None = None) -> float:
+    """COM-distance cutoff covering every unbonded term of the default model."""
+    fn = energy_fn
+    if fn is None:
+        import numpy as np
+
+        fn = ComposedEnergyFunction.from_lists(
+            energy_fns=default_energy_fns(),
+            energy_configs=default_energy_configs(),
+            seq=np.zeros(2, dtype=int),
+            bonded_neighbors=np.zeros((1, 2), dtype=int),
+            unbonded_neighbors=np.zeros((2, 1), dtype=int),
+            displacement_fn=DEFAULT_DISPLACEMENT,
+        )
+    return float(fn.pair_cutoff()) + 2.0 * max_site_offset()
+
+
 def create_default_energy_fn(
     topology: Topology,
     displacement_fn: callable = DEFAULT_DISPLACEMENT,
     dense_unbonded: bool = False,
+    block_unbonded: bool = False,
+    block_size: int = 64,
+    overrides: dict = MappingProxyType({}),
+    opts: dict = MappingProxyType({}),
 ) -> EnergyFunction:
     """The full default oxDNA1 composed energy function for a topology.
 
     ``dense_unbonded=True`` evaluates unbonded terms over dense (N, N) masks
     instead of pair index lists -- the gather-free TPU fast path (pair with
-    simulators.DensePairs).
+    simulators.DensePairs). ``block_unbonded=True`` selects the block-sparse
+    tile path (pair with simulators.BlockNeighborList); the returned function
+    carries an empty placeholder table and must be given a real one via
+    ``with_props(block_ids=...)`` before evaluation. ``overrides``/``opts``
+    forward to :func:`default_energy_configs` (reference parity:
+    mythos/energy/dna1/__init__.py:84-102).
     """
     kwargs = {}
-    if dense_unbonded:
+    if block_unbonded:
+        import jax.numpy as jnp
+
+        from mythos_tpu.energy.blocks import n_blocks_for
+
+        nb = n_blocks_for(topology.n_nucleotides, block_size)
+        kwargs["block_ids"] = jnp.zeros((nb, 0), dtype=jnp.int32)
+        kwargs["block_size"] = block_size
+    elif dense_unbonded:
         import jax.numpy as jnp
 
         from mythos_tpu.simulators.neighbors import dense_pair_mask
@@ -116,7 +160,7 @@ def create_default_energy_fn(
         kwargs["dense_mask"] = jnp.asarray(dense_pair_mask(topology))
     return ComposedEnergyFunction.from_lists(
         energy_fns=default_energy_fns(),
-        energy_configs=default_energy_configs(),
+        energy_configs=default_energy_configs(overrides=overrides, opts=opts),
         transform_fn=default_transform_fn(),
         displacement_fn=displacement_fn,
         topology=topology,
@@ -142,7 +186,9 @@ __all__ = [
     "UnbondedExcludedVolumeConfiguration",
     "create_default_energy_fn",
     "default_configs",
+    "default_neighbor_cutoff",
     "default_energy_configs",
     "default_energy_fns",
     "default_transform_fn",
+    "max_site_offset",
 ]

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 import mythos_tpu.energy.functions as bf
 import mythos_tpu.energy.smoothing as sm
-from mythos_tpu.energy import seqdep
+from mythos_tpu.energy import blocks, seqdep
 from mythos_tpu.energy.base import BaseEnergyFunction, BaseNucleotide
 from mythos_tpu.energy.configuration import BaseConfiguration
 from mythos_tpu.energy.dna1 import geometry as geom
@@ -33,6 +33,7 @@ from mythos_tpu.utils.math import smooth_abs
 from mythos_tpu.utils.types import Arr, Probabilistic_Sequence, Scalar
 
 ERR_PSEQ_CONSTRAINTS = "pseq_constraints must be provided when pseq is provided."
+ERR_PSEQ_PAIR_LIST = "probabilistic sequences use the pair-list path (block_ids=None)"
 
 #: sequence-averaged stacking weights (uniform)
 STACK_WEIGHTS_SA = jnp.ones((4, 4))
@@ -332,7 +333,20 @@ class UnbondedExcludedVolume(BaseEnergyFunction):
             p.dr_c_backbone,
         )
 
+    def pair_cutoff(self) -> float:
+        p = self.params
+        return float(max(p.dr_c_base, p.dr_c_back_base, p.dr_c_base_back, p.dr_c_backbone))
+
     def compute_energy(self, nucleotide: BaseNucleotide) -> Scalar:
+        if self.block_ids is not None:
+            return blocks.block_pair_sum(
+                self.dense_energies,
+                nucleotide,
+                self.block_ids,
+                self.block_size,
+                nucleotide.center.shape[0],
+                self.bonded_neighbors,
+            )
         if self.dense_mask is not None:
             vals = self.dense_energies(nucleotide, nucleotide)
             return jnp.where(self.dense_mask, vals, 0.0).sum()
@@ -716,7 +730,29 @@ class HydrogenBonding(BaseEnergyFunction):
         onehot = jax.nn.one_hot(seq, 4, dtype=self.params.eps_hb_weights.dtype)
         return onehot @ self.params.eps_hb_weights @ onehot.T
 
+    def pair_cutoff(self) -> float:
+        return float(self.params.dr_c_high_hb)
+
+    def dense_energies(self, nuc_i: BaseNucleotide, nuc_j: BaseNucleotide, seq_i=None, seq_j=None) -> Arr:
+        """(Ni, Nj) energies via broadcasts; works on full arrays or tiles."""
+        g = geom.unbonded_geometry_dense(nuc_i, nuc_j, self.displacement_fn)
+        w = self.params.eps_hb_weights
+        oh_i = jax.nn.one_hot(self.seq if seq_i is None else seq_i, 4, dtype=w.dtype)
+        oh_j = jax.nn.one_hot(self.seq if seq_j is None else seq_j, 4, dtype=w.dtype)
+        return self.hb_product(g) * (oh_i @ w @ oh_j.T)
+
     def compute_energy(self, nucleotide: BaseNucleotide) -> Scalar:
+        if self.block_ids is not None:
+            if self.params.pseq:
+                raise NotImplementedError(ERR_PSEQ_PAIR_LIST)
+            return blocks.block_pair_sum(
+                lambda ri, rj: self.dense_energies(ri[0], rj[0], ri[1], rj[1]),
+                (nucleotide, jnp.asarray(self.seq)),
+                self.block_ids,
+                self.block_size,
+                nucleotide.center.shape[0],
+                self.bonded_neighbors,
+            )
         if self.dense_mask is not None:
             g = geom.unbonded_geometry_dense(nucleotide, nucleotide, self.displacement_fn)
             vals = self.hb_product(g) * self._dense_weights(self.seq)
@@ -884,7 +920,24 @@ class CrossStacking(BaseEnergyFunction):
         g = geom.unbonded_geometry(nuc_i, nuc_j, op_i, op_j, self.displacement_fn)
         return jnp.where(op_i < n, self.cross_product_term(g), 0.0)
 
+    def pair_cutoff(self) -> float:
+        return float(self.params.dr_c_high_cross)
+
+    def dense_energies(self, nuc_i: BaseNucleotide, nuc_j: BaseNucleotide) -> Arr:
+        """(Ni, Nj) energies via broadcasts; works on full arrays or tiles."""
+        g = geom.unbonded_geometry_dense(nuc_i, nuc_j, self.displacement_fn)
+        return self.cross_product_term(g)
+
     def compute_energy(self, nucleotide: BaseNucleotide) -> Scalar:
+        if self.block_ids is not None:
+            return blocks.block_pair_sum(
+                self.dense_energies,
+                nucleotide,
+                self.block_ids,
+                self.block_size,
+                nucleotide.center.shape[0],
+                self.bonded_neighbors,
+            )
         if self.dense_mask is not None:
             g = geom.unbonded_geometry_dense(nucleotide, nucleotide, self.displacement_fn)
             return jnp.where(self.dense_mask, self.cross_product_term(g), 0.0).sum()
@@ -1052,7 +1105,24 @@ class CoaxialStacking(BaseEnergyFunction):
         g = geom.coax_geometry(nuc_i, nuc_j, op_i, op_j, self.displacement_fn)
         return jnp.where(op_i < n, self.coax_product(g), 0.0)
 
+    def pair_cutoff(self) -> float:
+        return float(self.params.dr_c_high_coax)
+
+    def dense_energies(self, nuc_i: BaseNucleotide, nuc_j: BaseNucleotide) -> Arr:
+        """(Ni, Nj) energies via broadcasts; works on full arrays or tiles."""
+        g = geom.coax_geometry_dense(nuc_i, nuc_j, self.displacement_fn)
+        return self.coax_product(g)
+
     def compute_energy(self, nucleotide: BaseNucleotide) -> Scalar:
+        if self.block_ids is not None:
+            return blocks.block_pair_sum(
+                self.dense_energies,
+                nucleotide,
+                self.block_ids,
+                self.block_size,
+                nucleotide.center.shape[0],
+                self.bonded_neighbors,
+            )
         if self.dense_mask is not None:
             g = geom.coax_geometry_dense(nucleotide, nucleotide, self.displacement_fn)
             return jnp.where(self.dense_mask, self.coax_product(g), 0.0).sum()

@@ -96,12 +96,15 @@ class Topology:
     n_nucleotides: int
     strand_counts: np.ndarray
     bonded_neighbors: np.ndarray
-    unbonded_neighbors: np.ndarray
     seq: Sequence
     is_end: Arr
     nt_type: Arr
+    #: optional explicit (U, 2) pair list; left unset it derives lazily on
+    #: first access -- the O(N^2) list is never materialized by workflows
+    #: that use the dense-mask or block-sparse unbonded paths
+    unbonded_neighbors: dc.InitVar[np.ndarray | None] = None
 
-    def __post_init__(self) -> None:
+    def __post_init__(self, unbonded_neighbors: np.ndarray | None) -> None:
         if self.n_nucleotides < 1:
             raise ValueError(ERR_INVALID_NUMBER_NUCLEOTIDES)
         if len(self.strand_counts) == 0 or sum(self.strand_counts) == 0:
@@ -110,9 +113,25 @@ class Topology:
             raise ValueError(ERR_STRAND_COUNTS_NOT_MATCH)
         if self.bonded_neighbors.ndim != 2 or self.bonded_neighbors.shape[1] != 2:
             raise ValueError(ERR_BONDED_NEIGHBORS_INVALID_SHAPE)
-        if self.unbonded_neighbors.ndim != 2 or self.unbonded_neighbors.shape[1] != 2:
+        if isinstance(unbonded_neighbors, property):
+            unbonded_neighbors = None  # dataclass default sentinel
+        if unbonded_neighbors is not None and (
+            unbonded_neighbors.ndim != 2 or unbonded_neighbors.shape[1] != 2
+        ):
             raise ValueError(ERR_UNBONDED_NEIGHBORS_INVALID_SHAPE)
+        object.__setattr__(self, "_unbonded_neighbors", unbonded_neighbors)
         check_valid_seq(self.seq, self.n_nucleotides)
+
+    @property
+    def unbonded_neighbors(self) -> np.ndarray:
+        """(U, 2) all i<j pairs minus bonded, derived lazily and cached."""
+        if self._unbonded_neighbors is None:
+            object.__setattr__(
+                self,
+                "_unbonded_neighbors",
+                unbonded_pairs(self.n_nucleotides, self.bonded_neighbors),
+            )
+        return self._unbonded_neighbors
 
 
 def from_oxdna_file(
@@ -255,7 +274,6 @@ def _assemble(
         n_nucleotides=n_nucleotides,
         strand_counts=np.asarray(strand_counts),
         bonded_neighbors=bonded,
-        unbonded_neighbors=unbonded_pairs(n_nucleotides, bonded),
         seq=np.array([const.NUCLEOTIDES_IDX[s] for s in sequence], dtype=np.int32),
         is_end=np.array(is_end, dtype=np.int32),
         nt_type=np.array(nt_type, dtype=np.int32),

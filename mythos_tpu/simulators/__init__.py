@@ -3,13 +3,18 @@
 from mythos_tpu.simulators.base import InputDirSimulator, Simulator, SimulatorOutput
 from mythos_tpu.simulators.io import SimulatorTrajectory
 from mythos_tpu.simulators.neighbors import (
+    BlockNeighborList,
+    DensePairs,
     FixedCapacityNeighborList,
     NoNeighborList,
+    block_neighbor_list_for_topology,
     neighbor_list_for_topology,
 )
 from mythos_tpu.simulators.tpu import StaticSimulatorParams, TpuSimulator, checkpoint_scan
 
 __all__ = [
+    "BlockNeighborList",
+    "DensePairs",
     "FixedCapacityNeighborList",
     "InputDirSimulator",
     "NoNeighborList",
@@ -18,6 +23,7 @@ __all__ = [
     "SimulatorTrajectory",
     "StaticSimulatorParams",
     "TpuSimulator",
+    "block_neighbor_list_for_topology",
     "checkpoint_scan",
     "neighbor_list_for_topology",
 ]

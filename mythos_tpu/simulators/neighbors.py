@@ -149,6 +149,10 @@ class FixedCapacityNeighborList:
         overflow = jnp.sum(hit) > self.capacity
         return jnp.stack([pair_i, pair_j]), overflow
 
+    def build(self, centers: Arr) -> tuple[Arr, Arr]:
+        """Alias used by the simulator's carry-only-arrays scan path."""
+        return self._build(centers)
+
     def allocate(self, centers: Arr) -> "FixedCapacityNeighborList":
         idx, overflow = self._build(centers)
         return self.replace(idx_=idx, did_overflow=overflow)
@@ -156,6 +160,114 @@ class FixedCapacityNeighborList:
     def update(self, centers: Arr) -> "FixedCapacityNeighborList":
         idx, overflow = self._build(centers)
         return self.replace(idx_=idx, did_overflow=self.did_overflow | overflow)
+
+
+@chex.dataclass
+class BlockNeighborList:
+    """Block-level neighbor table for the block-sparse tile path.
+
+    Particles are grouped into index blocks of ``block_size``; for each row
+    block the table keeps up to ``capacity`` interacting column blocks
+    (b >= a, padded with n_blocks). A block pair is active when the distance
+    between the blocks' axis-aligned bounding boxes is below
+    ``r_cutoff + dr_threshold``. All arithmetic stays dense (B, B) tiles --
+    see mythos_tpu.energy.blocks for why per-pair gathers lose on TPU.
+
+    The integrator carries only ``block_ids``/``did_overflow`` (arrays);
+    block_size/capacity are static Python ints baked into the compiled step.
+    """
+
+    displacement_fn: Callable
+    block_size: int
+    capacity: int
+    r_cutoff: float
+    dr_threshold: float
+    n: int
+    block_ids_: Arr | None = None
+    did_overflow: Arr | None = None
+
+    @property
+    def idx(self) -> Arr:
+        return self.block_ids_
+
+    @property
+    def n_blocks(self) -> int:
+        return -(-self.n // self.block_size)
+
+    def build_ids(self, centers: Arr) -> tuple[Arr, Arr]:
+        """(n_blocks, capacity) active column-block table + overflow flag."""
+        nb, b_sz = self.n_blocks, self.block_size
+        n_pad = nb * b_sz
+        pad = n_pad - centers.shape[0]
+        x = jnp.pad(centers, ((0, pad), (0, 0))) if pad else centers
+        x = x.reshape(nb, b_sz, 3)
+        # padded rows must not stretch the last block's AABB
+        row_valid = (jnp.arange(n_pad) < self.n).reshape(nb, b_sz, 1)
+        big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
+        lo = jnp.min(jnp.where(row_valid, x, big), axis=1)
+        hi = jnp.max(jnp.where(row_valid, x, -big), axis=1)
+
+        # separation between AABBs a and b along each axis, clamped at 0
+        gap = jnp.maximum(
+            jnp.maximum(lo[:, None, :] - hi[None, :, :], lo[None, :, :] - hi[:, None, :]),
+            0.0,
+        )
+        dist2 = jnp.sum(gap * gap, axis=-1)
+        cut = self.r_cutoff + self.dr_threshold
+        iu = jnp.triu_indices(nb, k=0)  # b >= a, diagonal included
+        hit = jnp.zeros((nb, nb), dtype=bool).at[iu].set(dist2[iu] < cut * cut)
+
+        # per-row compaction: hits first, padded with nb
+        order = jnp.argsort(~hit, axis=1)[:, : self.capacity]
+        valid = jnp.take_along_axis(hit, order, axis=1)
+        ids = jnp.where(valid, order, nb).astype(jnp.int32)
+        overflow = jnp.any(jnp.sum(hit, axis=1) > self.capacity)
+        return ids, overflow
+
+    def build(self, centers: Arr) -> tuple[Arr, Arr]:
+        """Alias used by the simulator's carry-only-arrays scan path."""
+        return self.build_ids(centers)
+
+    def allocate(self, centers: Arr) -> "BlockNeighborList":
+        ids, overflow = self.build_ids(centers)
+        return self.replace(block_ids_=ids, did_overflow=overflow)
+
+    def update(self, centers: Arr) -> "BlockNeighborList":
+        ids, overflow = self.build_ids(centers)
+        return self.replace(
+            block_ids_=ids,
+            did_overflow=overflow if self.did_overflow is None else self.did_overflow | overflow,
+        )
+
+
+def block_neighbor_list_for_topology(
+    displacement_fn: Callable,
+    topology,
+    r_cutoff: float,
+    dr_threshold: float = 0.5,
+    block_size: int = 64,
+    capacity: int | None = None,
+    capacity_multiplier: float = 1.5,
+    init_centers: Arr | None = None,
+) -> BlockNeighborList:
+    """Build a BlockNeighborList sized from initial positions."""
+    n = topology.n_nucleotides
+    nbl = BlockNeighborList(
+        displacement_fn=displacement_fn,
+        block_size=block_size,
+        capacity=capacity or 0,
+        r_cutoff=r_cutoff,
+        dr_threshold=dr_threshold,
+        n=n,
+    )
+    if capacity is None:
+        if init_centers is None:
+            raise ValueError("capacity or init_centers must be provided")
+        probe = nbl.replace(capacity=nbl.n_blocks)
+        ids, _ = probe.build_ids(jnp.asarray(init_centers))
+        hits = int(np.max(np.sum(np.asarray(ids) < probe.n_blocks, axis=1)))
+        nbl = nbl.replace(capacity=max(2, min(probe.n_blocks, int(np.ceil(hits * capacity_multiplier)))))
+    return nbl.allocate(jnp.asarray(init_centers)) if init_centers is not None else nbl
 
 
 def neighbor_list_for_topology(

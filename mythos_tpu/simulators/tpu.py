@@ -166,12 +166,17 @@ def build_run_fn(
         # so gradients flow through the derivation.
         updated_energy_fn = energy_fn.with_params(opt_params)
 
-        from mythos_tpu.simulators.neighbors import DensePairs
+        from mythos_tpu.simulators.neighbors import BlockNeighborList, DensePairs, NoNeighborList
 
         if isinstance(neighbors, DensePairs):
             # dense path: the terms carry their (constant) pair masks
             def _energy_fn(body: RigidBody, unbonded_neighbors=None) -> Scalar:
                 return updated_energy_fn(body)
+        elif isinstance(neighbors, BlockNeighborList):
+            # block-sparse tile path: the table rides the generic
+            # unbonded_neighbors plumbing but binds as block_ids
+            def _energy_fn(body: RigidBody, unbonded_neighbors: Arr) -> Scalar:
+                return updated_energy_fn.with_props(block_ids=unbonded_neighbors)(body)
         else:
 
             def _energy_fn(body: RigidBody, unbonded_neighbors: Arr) -> Scalar:
@@ -188,45 +193,44 @@ def build_run_fn(
         )
 
         # A static pair list need not ride the scan carry: keeping it closed
-        # over lets XLA treat the gather indices as constants.
-        from mythos_tpu.simulators.neighbors import NoNeighborList
-
+        # over lets XLA treat the gather indices as constants. Dynamic lists
+        # carry ONLY their arrays (idx, overflow); the list object itself --
+        # with static ints like capacity/block_size -- stays closed over, so
+        # scan never traces values that shape the program.
         static_nbrs = isinstance(neighbors, (NoNeighborList, DensePairs))
 
         def one_step(carry, step_idx):
-            state, nbrs = carry
-            state = step_fn(state, unbonded_neighbors=nbrs.idx, **simulator_params.step_fn)
-            if static_nbrs:
-                pass
-            elif neighbor_update_every <= 1:
-                nbrs = nbrs.update(state.position.center)
+            state, idx, overflow = carry
+            state = step_fn(state, unbonded_neighbors=idx, **simulator_params.step_fn)
+            if neighbor_update_every <= 1:
+                idx, ovf = neighbors.build(state.position.center)
+                overflow = overflow | ovf
             else:
                 do_update = (step_idx % neighbor_update_every) == 0
-                updated = nbrs.update(state.position.center)
-                nbrs = jax.tree.map(
-                    lambda new, old: jnp.where(do_update, new, old)
-                    if isinstance(new, jnp.ndarray)
-                    else new,
-                    updated,
-                    nbrs,
-                )
-            return (state, nbrs), None
+                new_idx, ovf = neighbors.build(state.position.center)
+                idx = jnp.where(do_update, new_idx, idx)
+                overflow = overflow | (do_update & ovf)
+            return (state, idx, overflow), None
 
         if static_nbrs:
             # close over the list; carry only the integrator state
-            def one_step_static(state, step_idx):
-                (state, _), _ = one_step((state, nbrs0), step_idx)
+            def step_adapter(state, step_idx):
+                state = step_fn(
+                    state, unbonded_neighbors=nbrs0.idx, **simulator_params.step_fn
+                )
                 return state, None
 
             carry0 = state
 
-            def step_adapter(carry, x):
-                return one_step_static(carry, x)
-
             def position_of(carry):
                 return carry.position
         else:
-            carry0 = (state, nbrs0)
+            overflow0 = (
+                nbrs0.did_overflow
+                if nbrs0.did_overflow is not None
+                else jnp.asarray(False)
+            )
+            carry0 = (state, nbrs0.idx, overflow0)
             step_adapter = one_step
 
             def position_of(carry):
