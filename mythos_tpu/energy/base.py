@@ -114,6 +114,11 @@ class BaseEnergyFunction(EnergyFunction):
     unbonded_neighbors: Arr | None = None
     topology: InitVar[Topology | None] = None
     transform_fn: Callable | None = None
+    #: SoA twin of transform_fn (BodySoA -> NucleotideSoA); enables the
+    #: component-array hot path (see mythos_tpu/soa.py)
+    transform_soa_fn: Callable | None = None
+    #: SoA displacement over Vec3 fields; None = free space (a - b)
+    displacement_soa_fn: Callable | None = None
     #: optional (N, N) mask enabling the dense gather-free unbonded path
     #: (True where the i<j pair interacts); see energy/dna1/geometry.py
     dense_mask: Arr | None = None
@@ -205,6 +210,42 @@ class BaseEnergyFunction(EnergyFunction):
         """
         return None
 
+    def tile_energy_fn(self) -> Callable | None:
+        """Fused-tile evaluator for the block-sparse path (None: unsupported).
+
+        Returns a callable ``((nuc_i, seq_i), (nuc_j, seq_j)) -> (B, B)``
+        over row/column tile pytrees. Terms sharing a block table and
+        transform are evaluated TOGETHER on each gathered tile (see
+        energy/blocks.py) so pair geometry is computed once per tile, not
+        once per term.
+        """
+        return None
+
+    @property
+    def displacement_soa(self) -> Callable:
+        """SoA displacement (free space unless displacement_soa_fn is set)."""
+        if self.displacement_soa_fn is not None:
+            return self.displacement_soa_fn
+        return lambda a, b: a - b
+
+    def tile_energy_soa_fn(self) -> Callable | None:
+        """SoA twin of :meth:`tile_energy_fn` over NucleotideSoA tile rows."""
+        return None
+
+    def tile_row_fields(self) -> dict:
+        """Extra per-row (N,) arrays this term needs on gathered tiles.
+
+        Merged across the fused group into the third slot of the rows
+        pytree: tile fns see ``ri = (nucleotide, seq, aux_dict)``.
+        """
+        return {}
+
+    def energy_soa(self, nucleotide, seq) -> Scalar:
+        """SoA energy for non-tile (bonded/pair-list) terms."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not implement the SoA hot path"
+        )
+
     @abstractmethod
     def compute_energy(self, nucleotide: BaseNucleotide) -> Scalar:
         """Energy given the (transformed) nucleotide body."""
@@ -288,22 +329,121 @@ class ComposedEnergyFunction(EnergyFunction):
         return max(cutoffs) if cutoffs else None
 
     def compute_terms(self, body: RigidBody) -> Arr:
-        """Each member's energy; each distinct transform runs exactly once."""
+        """Each member's energy; each distinct transform runs exactly once.
+
+        Members on the block-sparse path that share a block table and
+        transform are fused: all their tile functions evaluate on the same
+        gathered tiles in one pass (energy/blocks.py), so the column gather
+        and the shared pair geometry are paid once per step, not per term.
+        """
+        from mythos_tpu.energy import blocks
+
         transformed: dict[int, RigidBody] = {}
-        vals = []
-        for fn in self.energy_fns:
+
+        def transform(fn: BaseEnergyFunction) -> RigidBody:
             if fn.transform_fn is None:
-                vals.append(fn.compute_energy(body))
-            else:
-                key = id(fn.transform_fn)
-                if key not in transformed:
-                    transformed[key] = fn.transform_fn(body)
-                vals.append(fn.compute_energy(transformed[key]))
+                return body
+            key = id(fn.transform_fn)
+            if key not in transformed:
+                transformed[key] = fn.transform_fn(body)
+            return transformed[key]
+
+        # group block-path members by (table, transform); order-preserving
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i, fn in enumerate(self.energy_fns):
+            tile = fn.tile_energy_fn() if fn.block_ids is not None else None
+            if tile is not None:
+                groups.setdefault((id(fn.block_ids), id(fn.transform_fn)), []).append(i)
+
+        vals: list[Scalar | None] = [None] * len(self.energy_fns)
+        for idxs in groups.values():
+            first = self.energy_fns[idxs[0]]
+            nuc = transform(first)
+            aux: dict = {}
+            for i in idxs:
+                aux.update(self.energy_fns[i].tile_row_fields())
+            rows = (nuc, jnp.asarray(first.seq), aux)
+            sums = blocks.block_pair_sums(
+                [self.energy_fns[i].tile_energy_fn() for i in idxs],
+                rows,
+                first.block_ids,
+                first.block_size,
+                nuc.center.shape[0],
+                first.bonded_neighbors,
+            )
+            for k, i in enumerate(idxs):
+                vals[i] = sums[k]
+        for i, fn in enumerate(self.energy_fns):
+            if vals[i] is None:
+                vals[i] = fn.compute_energy(transform(fn))
         return jnp.array(vals)
 
     def __call__(self, body: RigidBody) -> Scalar:
         energy_vals = self.compute_terms(body)
         return jnp.sum(energy_vals) if self.weights is None else jnp.dot(self.weights, energy_vals)
+
+    def supports_soa(self) -> bool:
+        """True when every member implements the SoA hot path."""
+        for fn in self.energy_fns:
+            if fn.transform_soa_fn is None:
+                return False
+            has_tile = fn.block_ids is not None and fn.tile_energy_soa_fn() is not None
+            has_pair = type(fn).energy_soa is not BaseEnergyFunction.energy_soa
+            if not (has_tile or has_pair):
+                return False
+        return True
+
+    def compute_terms_soa(self, body_soa) -> Arr:
+        """SoA twin of :meth:`compute_terms` (component-array hot path).
+
+        Block-path members fuse exactly as in compute_terms; bonded/pair
+        members evaluate via their ``energy_soa``. Every distinct
+        ``transform_soa_fn`` runs once.
+        """
+        from mythos_tpu.energy import blocks
+
+        transformed: dict[int, Any] = {}
+
+        def transform(fn: BaseEnergyFunction):
+            key = id(fn.transform_soa_fn)
+            if key not in transformed:
+                transformed[key] = fn.transform_soa_fn(body_soa)
+            return transformed[key]
+
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i, fn in enumerate(self.energy_fns):
+            tile = fn.tile_energy_soa_fn() if fn.block_ids is not None else None
+            if tile is not None:
+                groups.setdefault((id(fn.block_ids), id(fn.transform_soa_fn)), []).append(i)
+
+        vals: list[Scalar | None] = [None] * len(self.energy_fns)
+        for idxs in groups.values():
+            first = self.energy_fns[idxs[0]]
+            nuc = transform(first)
+            n = jax.tree_util.tree_leaves(nuc)[0].shape[0]
+            aux: dict = {}
+            for i in idxs:
+                aux.update(self.energy_fns[i].tile_row_fields())
+            rows = (nuc, jnp.asarray(first.seq), aux)
+            sums = blocks.block_pair_sums(
+                [self.energy_fns[i].tile_energy_soa_fn() for i in idxs],
+                rows,
+                first.block_ids,
+                first.block_size,
+                n,
+                first.bonded_neighbors,
+            )
+            for k, i in enumerate(idxs):
+                vals[i] = sums[k]
+        for i, fn in enumerate(self.energy_fns):
+            if vals[i] is None:
+                vals[i] = fn.energy_soa(transform(fn), jnp.asarray(fn.seq))
+        return jnp.array(vals)
+
+    def energy_soa(self, body_soa) -> Scalar:
+        """Total SoA energy (weighted like __call__)."""
+        vals = self.compute_terms_soa(body_soa)
+        return jnp.sum(vals) if self.weights is None else jnp.dot(self.weights, vals)
 
     def without_terms(self, *terms: str | type) -> "ComposedEnergyFunction":
         """Drop terms by class or class name."""

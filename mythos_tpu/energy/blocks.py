@@ -6,13 +6,20 @@ list evaluates ~2x SLOWER than the full 130k-pair dense (N, N) path at
 N = 512), while dense broadcasts scale O(N^2). Block sparsity keeps the
 arithmetic dense -- (B, B) tiles evaluated with the same broadcasting code as
 the dense path -- but culls interaction *blocks* whose axis-aligned bounding
-boxes are farther apart than the interaction cutoff. Gathers happen only at
-block granularity (dynamic slices of B contiguous rows), which TPUs handle
-efficiently.
+boxes are farther apart than the interaction cutoff.
 
-This is the cluster-pair idea used by modern MD engines, re-expressed for
-XLA's static-shape world: a fixed-capacity (n_blocks, K) table of interacting
-column-block ids per row-block, padded with ``n_blocks`` and masked in-tile.
+Two design rules keep this fast on TPU:
+
+1. **Gather once, at block granularity.** Row blocks are a plain reshape of
+   the padded row arrays; column blocks are ONE advanced-index gather
+   ``rows[block_ids]`` per field for the whole table. (An earlier variant
+   dynamic-sliced each (row-block, slot) pair under vmap, which lowered to a
+   gather per term per slot and was 5x slower than the dense path.)
+2. **Evaluate every term on the same tile.** :func:`block_pair_sums` takes a
+   list of tile functions and evaluates all of them inside one vmapped tile
+   program, so the shared pair geometry (displacements, angles) is computed
+   once and CSE'd across terms, and the column gather is amortized over the
+   whole interaction model.
 
 Reference context: the reference framework precomputes ALL O(N^2) unbonded
 pairs (mythos/input/topology.py:186-190) or uses jax-md neighbor lists with
@@ -22,7 +29,7 @@ scales; this module is the from-scratch TPU answer.
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -66,15 +73,16 @@ def bonded_partner_table(n_pad: int, bonded_neighbors: Arr) -> tuple[Arr, Arr]:
     return prev, nxt
 
 
-def _slice_rows(tree: PyTree, start: Arr, size: int) -> PyTree:
-    """Dynamic slice of ``size`` rows from every leaf."""
+def block_reshape(tree: PyTree, n_blocks: int, block_size: int) -> PyTree:
+    """Pad rows to n_blocks * block_size and reshape to (n_blocks, B, ...)."""
+    padded = pad_rows(tree, n_blocks * block_size)
     return jax.tree.map(
-        lambda x: jax.lax.dynamic_slice_in_dim(x, start, size, axis=0), tree
+        lambda x: x.reshape(n_blocks, block_size, *x.shape[1:]), padded
     )
 
 
-def block_pair_sum(
-    tile_fn: Callable[[PyTree, PyTree], Arr],
+def block_pair_sums(
+    tile_fns: Sequence[Callable[[PyTree, PyTree], Arr]],
     rows: PyTree,
     block_ids: Arr,
     block_size: int,
@@ -83,12 +91,14 @@ def block_pair_sum(
     *,
     rows_batch: int | None = None,
 ) -> Arr:
-    """Sum of masked pair energies over active (row-block, col-block) tiles.
+    """Per-term sums of masked pair energies over active block tiles.
 
     Args:
-        tile_fn: maps (rows_i, rows_j) pytrees of (B, ...) row data to a
+        tile_fns: each maps (rows_i, rows_j) pytrees of (B, ...) row data to a
             (B, B) tile of pair energies. Any ``dense_energies``-style
-            broadcasting implementation works unchanged.
+            broadcasting implementation works unchanged. All terms evaluate
+            on the SAME gathered tiles (shared geometry CSE's inside the
+            traced tile program).
         rows: pytree of per-row arrays, leading axis >= n (padded rows are
             masked out).
         block_ids: (n_blocks, K) int32 table of interacting column blocks per
@@ -104,47 +114,76 @@ def block_pair_sum(
             size to bound live memory (default: one vmap over all blocks).
 
     Returns:
-        Scalar sum of pair energies over all included pairs.
+        (len(tile_fns),) per-term sums over all included pairs.
     """
     if block_ids.ndim != 2:
         raise ValueError(ERR_BLOCK_IDS)
     if block_ids.shape[1] == 0:
         raise ValueError(ERR_PLACEHOLDER)
-    nb = block_ids.shape[0]
+    nb, cap = block_ids.shape
     b_sz = block_size
     n_pad = nb * b_sz
-    rows_p = pad_rows(rows, n_pad)
+
+    rows_b = block_reshape(rows, nb, b_sz)  # (nb, B, ...)
+    safe_ids = jnp.minimum(block_ids, nb - 1)
+    # one gather per field; the K slot axis is FLATTENED into the column
+    # axis so every tile is (B, K*B) -- with cap * block_size a multiple of
+    # 128 the minor dimension fills whole lane groups (a (B, K, B) layout
+    # wastes 1 - B/128 of every vector register)
+    cols_b = jax.tree.map(
+        lambda x: x[safe_ids].reshape(nb, cap * b_sz, *x.shape[2:]), rows_b
+    )  # (nb, K*B, ...)
+
     prev, nxt = bonded_partner_table(n_pad, bonded_neighbors)
     loc = jnp.arange(b_sz, dtype=jnp.int32)
+    ig = jnp.arange(nb, dtype=jnp.int32)[:, None] * b_sz + loc[None, :]  # (nb, B)
+    jg = jnp.where(
+        (block_ids < nb)[:, :, None],
+        safe_ids[:, :, None] * b_sz + loc[None, None, :],
+        n_pad,  # padded slots point past every real row -> masked below
+    ).reshape(nb, cap * b_sz)  # (nb, K*B)
+    prev_b = prev.reshape(nb, b_sz)
+    nxt_b = nxt.reshape(nb, b_sz)
 
-    def row_block(a: Arr, slots: Arr) -> Arr:
-        rows_i = _slice_rows(rows_p, a * b_sz, b_sz)
-        ig = a * b_sz + loc  # (B,) global row indices
-        prev_i = jax.lax.dynamic_slice_in_dim(prev, a * b_sz, b_sz)
-        nxt_i = jax.lax.dynamic_slice_in_dim(nxt, a * b_sz, b_sz)
+    def row_block(rows_i, cols_i, ig_i, jg_j, prev_i, nxt_i):
+        # rows_i: (B, ...), cols_i: (K*B, ...); mask built in-tile so XLA
+        # fuses it with the energy evaluation.
+        mask = (
+            (jg_j[None, :] > ig_i[:, None])
+            & (ig_i[:, None] < n)
+            & (jg_j[None, :] < n)
+            & (jg_j[None, :] != prev_i[:, None])
+            & (jg_j[None, :] != nxt_i[:, None])
+        )
+        return jnp.stack(
+            [jnp.where(mask, fn(rows_i, cols_i), 0.0).sum() for fn in tile_fns]
+        )
 
-        def slot(b: Arr) -> Arr:
-            valid_block = b < nb
-            b_c = jnp.minimum(b, nb - 1)
-            rows_j = _slice_rows(rows_p, b_c * b_sz, b_sz)
-            jg = b_c * b_sz + loc  # (B,) global col indices
-            tile = tile_fn(rows_i, rows_j)  # (B, B)
-            mask = (
-                (jg[None, :] > ig[:, None])
-                & (ig[:, None] < n)
-                & (jg[None, :] < n)
-                & (jg[None, :] != prev_i[:, None])
-                & (jg[None, :] != nxt_i[:, None])
-                & valid_block
-            )
-            return jnp.where(mask, tile, 0.0).sum()
-
-        return jax.vmap(slot)(slots).sum()
-
-    blocks_a = jnp.arange(nb, dtype=jnp.int32)
+    args = (rows_b, cols_b, ig, jg, prev_b, nxt_b)
     if rows_batch is None:
-        return jax.vmap(row_block)(blocks_a, block_ids).sum()
-    per_row = jax.lax.map(
-        lambda ab: row_block(*ab), (blocks_a, block_ids), batch_size=rows_batch
-    )
-    return per_row.sum()
+        per_row = jax.vmap(row_block)(*args)
+    else:
+        per_row = jax.lax.map(lambda a: row_block(*a), args, batch_size=rows_batch)
+    return per_row.sum(axis=0)
+
+
+def block_pair_sum(
+    tile_fn: Callable[[PyTree, PyTree], Arr],
+    rows: PyTree,
+    block_ids: Arr,
+    block_size: int,
+    n: int,
+    bonded_neighbors: Arr,
+    *,
+    rows_batch: int | None = None,
+) -> Arr:
+    """Scalar sum of masked pair energies for a single tile function."""
+    return block_pair_sums(
+        [tile_fn],
+        rows,
+        block_ids,
+        block_size,
+        n,
+        bonded_neighbors,
+        rows_batch=rows_batch,
+    )[0]

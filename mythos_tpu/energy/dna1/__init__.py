@@ -96,6 +96,20 @@ def default_transform_fn() -> callable:
     )
 
 
+def default_transform_soa_fn() -> callable:
+    """BodySoA -> NucleotideSoA transform (component-array hot path)."""
+    from mythos_tpu.energy.dna1.nucleotide import NucleotideSoA
+
+    _, default_config = default_configs()
+    geometry = default_config["geometry"]
+    return functools.partial(
+        NucleotideSoA.from_body_soa,
+        com_to_backbone=geometry["com_to_backbone"],
+        com_to_hb=geometry["com_to_hb"],
+        com_to_stacking=geometry["com_to_stacking"],
+    )
+
+
 def max_site_offset() -> float:
     """Largest |site - COM| offset in the default dna1 geometry.
 
@@ -162,6 +176,7 @@ def create_default_energy_fn(
         energy_fns=default_energy_fns(),
         energy_configs=default_energy_configs(overrides=overrides, opts=opts),
         transform_fn=default_transform_fn(),
+        transform_soa_fn=default_transform_soa_fn(),
         displacement_fn=displacement_fn,
         topology=topology,
         **kwargs,

@@ -264,3 +264,123 @@ def coax_geometry(
         cosphi3=jnp.sum(dr_stack_norm * jnp.cross(dr_back_norm, a1_j), axis=-1),
         cosphi4=jnp.sum(dr_stack_norm * jnp.cross(dr_back_norm, a1_i), axis=-1),
     )
+
+
+# SoA variants -------------------------------------------------------------------
+#
+# Component-array geometry for the TPU hot loop (see mythos_tpu/soa.py).
+# The returned NamedTuples carry (B, B) tile leaves (unbonded) or (B,) pair
+# leaves (bonded) but keep the SAME field names, so the term product
+# functions (stack_product, hb_product, ...) evaluate them unchanged.
+
+from mythos_tpu.soa import Vec3, vcross, vdot  # noqa: E402
+
+
+def _rows(v: Vec3) -> Vec3:
+    """(B,) -> (B, 1) row broadcast."""
+    return Vec3(v.x[:, None], v.y[:, None], v.z[:, None])
+
+
+def _cols(v: Vec3) -> Vec3:
+    """(B,) -> (1, B) column broadcast."""
+    return Vec3(v.x[None, :], v.y[None, :], v.z[None, :])
+
+
+def _vnorm_tile(v: Vec3) -> Arr:
+    """Norm with an epsilon: zero-distance (diagonal/padded) entries keep
+    finite gradients (they are masked downstream)."""
+    return jnp.sqrt(vdot(v, v) + 1e-18)
+
+
+def unbonded_geometry_tile_soa(
+    nuc_i,  # NucleotideSoA rows, (B,) leaves
+    nuc_j,  # NucleotideSoA cols, (B,) leaves
+    displacement_fn,  # SoA displacement over Vec3
+) -> UnbondedGeometry:
+    """(B, B) tile of the HB/cross-stacking angle set, fully elementwise."""
+    a1_i, a1_j = _rows(nuc_i.a1), _cols(nuc_j.a1)
+    n_i, n_j = _rows(nuc_i.a3), _cols(nuc_j.a3)
+
+    dr_base = displacement_fn(_cols(nuc_j.base), _rows(nuc_i.base))
+    r_base = _vnorm_tile(dr_base)
+    inv_r = 1.0 / r_base
+
+    return UnbondedGeometry(
+        dr_base=dr_base,
+        r_base=r_base,
+        theta1=safe_arccos(-vdot(a1_i, a1_j)),
+        theta2=safe_arccos(-vdot(a1_j, dr_base) * inv_r),
+        theta3=safe_arccos(vdot(a1_i, dr_base) * inv_r),
+        theta4=safe_arccos(vdot(n_i, n_j)),
+        theta7=safe_arccos(-vdot(n_j, dr_base) * inv_r),
+        theta8=jnp.pi - safe_arccos(vdot(n_i, dr_base) * inv_r),
+    )
+
+
+def coax_geometry_tile_soa(nuc_i, nuc_j, displacement_fn) -> CoaxGeometry:
+    """(B, B) tile of the coaxial-stacking angle set."""
+    a1_i, a1_j = _rows(nuc_i.a1), _cols(nuc_j.a1)
+    n_i, n_j = _rows(nuc_i.a3), _cols(nuc_j.a3)
+
+    dr_stack = displacement_fn(_cols(nuc_j.stack), _rows(nuc_i.stack))
+    r_stack = _vnorm_tile(dr_stack)
+    dr_stack_norm = dr_stack * (1.0 / r_stack)
+
+    dr_back = displacement_fn(_cols(nuc_j.back), _rows(nuc_i.back))
+    dr_back_norm = dr_back * (1.0 / _vnorm_tile(dr_back))
+
+    return CoaxGeometry(
+        dr_stack=dr_stack,
+        r_stack=r_stack,
+        theta1=safe_arccos(-vdot(a1_i, a1_j)),
+        theta4=safe_arccos(vdot(n_i, n_j)),
+        theta5=safe_arccos(vdot(n_i, dr_stack_norm)),
+        theta6=safe_arccos(-vdot(n_j, dr_stack_norm)),
+        cosphi3=vdot(dr_stack_norm, vcross(dr_back_norm, a1_j)),
+        cosphi4=vdot(dr_stack_norm, vcross(dr_back_norm, a1_i)),
+    )
+
+
+def _gather_vec3(v: Vec3, idx) -> Vec3:
+    return Vec3(v.x[idx], v.y[idx], v.z[idx])
+
+
+def bonded_geometry_soa(
+    nuc,  # NucleotideSoA, (N,) leaves
+    nn_i: Arr,
+    nn_j: Arr,
+    displacement_fn,
+    back: Vec3 | None = None,
+) -> BondedGeometry:
+    """(B,) bonded-pair geometry from SoA fields (1-D gathers only).
+
+    ``back`` overrides the backbone-site field (oxDNA2 stacking uses the
+    dna1-compatible backbone site).
+    """
+    bs = nuc.back if back is None else back
+    back_i, back_j = _gather_vec3(bs, nn_i), _gather_vec3(bs, nn_j)
+    base_i, base_j = _gather_vec3(nuc.base, nn_i), _gather_vec3(nuc.base, nn_j)
+    n_i, n_j = _gather_vec3(nuc.a3, nn_i), _gather_vec3(nuc.a3, nn_j)
+    stack_i, stack_j = _gather_vec3(nuc.stack, nn_i), _gather_vec3(nuc.stack, nn_j)
+
+    dr_back = displacement_fn(back_i, back_j)
+    r_back = jnp.sqrt(vdot(dr_back, dr_back) + 1e-18)
+    dr_stack = displacement_fn(stack_i, stack_j)
+    r_stack = jnp.sqrt(vdot(dr_stack, dr_stack) + 1e-18)
+    inv_r_stack = 1.0 / r_stack
+    inv_r_back = 1.0 / r_back
+
+    return BondedGeometry(
+        dr_back=dr_back,
+        r_back=r_back,
+        dr_stack=dr_stack,
+        r_stack=r_stack,
+        dr_base=displacement_fn(base_i, base_j),
+        dr_back_base=displacement_fn(back_i, base_j),
+        dr_base_back=displacement_fn(base_i, back_j),
+        theta4=safe_arccos(vdot(n_i, n_j)),
+        theta5=jnp.pi - safe_arccos(vdot(n_j, dr_stack) * inv_r_stack),
+        theta6=jnp.pi - safe_arccos(vdot(n_i, dr_stack) * inv_r_stack),
+        cosphi1=-vdot(_gather_vec3(nuc.a2, nn_i), dr_back) * inv_r_back,
+        cosphi2=-vdot(_gather_vec3(nuc.a2, nn_j), dr_back) * inv_r_back,
+    )

@@ -129,6 +129,15 @@ class Fene(BaseEnergyFunction):
     def compute_energy(self, nucleotide: BaseNucleotide) -> Scalar:
         return self.pairwise_energies(nucleotide, self.bonded_neighbors).sum()
 
+    def energy_soa(self, nuc, seq) -> Scalar:
+        g = geom.bonded_geometry_soa(
+            nuc, self.bonded_neighbors[:, 0], self.bonded_neighbors[:, 1], self.displacement_soa
+        )
+        p = self.params
+        return v_fene_smooth(
+            g.r_back, p.eps_backbone, p.r0_backbone, p.delta_backbone, p.fmax, p.finf
+        ).sum()
+
 
 # Excluded volumes ---------------------------------------------------------------
 
@@ -225,6 +234,23 @@ class BondedExcludedVolume(BaseEnergyFunction):
 
     def compute_energy(self, nucleotide: BaseNucleotide) -> Scalar:
         return self.pairwise_energies(nucleotide, self.bonded_neighbors).sum()
+
+    def energy_soa(self, nuc, seq) -> Scalar:
+        g = geom.bonded_geometry_soa(
+            nuc, self.bonded_neighbors[:, 0], self.bonded_neighbors[:, 1], self.displacement_soa
+        )
+        p = self.params
+        return (
+            _exc_vol_f3(geom._vnorm_tile(g.dr_base), p.eps_exc, p.dr_star_base, p.sigma_base, p.b_base, p.dr_c_base)
+            + _exc_vol_f3(
+                geom._vnorm_tile(g.dr_back_base), p.eps_exc, p.dr_star_back_base,
+                p.sigma_back_base, p.b_back_base, p.dr_c_back_base,
+            )
+            + _exc_vol_f3(
+                geom._vnorm_tile(g.dr_base_back), p.eps_exc, p.dr_star_base_back,
+                p.sigma_base_back, p.b_base_back, p.dr_c_base_back,
+            )
+        ).sum()
 
 
 @chex.dataclass(frozen=True)
@@ -337,11 +363,40 @@ class UnbondedExcludedVolume(BaseEnergyFunction):
         p = self.params
         return float(max(p.dr_c_base, p.dr_c_back_base, p.dr_c_base_back, p.dr_c_backbone))
 
+    def tile_energy_fn(self):
+        return lambda ri, rj: self.dense_energies(ri[0], rj[0])
+
+    def tile_energy_soa_fn(self):
+        p = self.params
+        d = self.displacement_soa
+
+        def tile(ri, rj):
+            nuc_i, nuc_j = ri[0], rj[0]
+            base_i, back_i = geom._rows(nuc_i.base), geom._rows(nuc_i.back)
+            base_j, back_j = geom._cols(nuc_j.base), geom._cols(nuc_j.back)
+            return (
+                _exc_vol_f3(geom._vnorm_tile(d(base_j, base_i)), p.eps_exc, p.dr_star_base, p.sigma_base, p.b_base, p.dr_c_base)
+                + _exc_vol_f3(
+                    geom._vnorm_tile(d(base_j, back_i)), p.eps_exc, p.dr_star_back_base,
+                    p.sigma_back_base, p.b_back_base, p.dr_c_back_base,
+                )
+                + _exc_vol_f3(
+                    geom._vnorm_tile(d(back_j, base_i)), p.eps_exc, p.dr_star_base_back,
+                    p.sigma_base_back, p.b_base_back, p.dr_c_base_back,
+                )
+                + _exc_vol_f3(
+                    geom._vnorm_tile(d(back_j, back_i)), p.eps_exc, p.dr_star_backbone,
+                    p.sigma_backbone, p.b_backbone, p.dr_c_backbone,
+                )
+            )
+
+        return tile
+
     def compute_energy(self, nucleotide: BaseNucleotide) -> Scalar:
         if self.block_ids is not None:
             return blocks.block_pair_sum(
-                self.dense_energies,
-                nucleotide,
+                self.tile_energy_fn(),
+                (nucleotide, jnp.asarray(self.seq)),
                 self.block_ids,
                 self.block_size,
                 nucleotide.center.shape[0],
@@ -533,6 +588,14 @@ class Stacking(BaseEnergyFunction):
 
     def compute_energy(self, nucleotide: BaseNucleotide) -> Scalar:
         return self.pairwise_energies(nucleotide, self.seq, self.bonded_neighbors).sum()
+
+    def energy_soa(self, nuc, seq) -> Scalar:
+        if self.params.pseq:
+            raise NotImplementedError(ERR_PSEQ_PAIR_LIST)
+        nn_i, nn_j = self.bonded_neighbors[:, 0], self.bonded_neighbors[:, 1]
+        g = geom.bonded_geometry_soa(nuc, nn_i, nn_j, self.displacement_soa)
+        weights = self.params.eps_stack[seq[nn_i], seq[nn_j]]
+        return (weights * self.stack_product(g)).sum()
 
 
 # Hydrogen bonding ----------------------------------------------------------------
@@ -741,12 +804,30 @@ class HydrogenBonding(BaseEnergyFunction):
         oh_j = jax.nn.one_hot(self.seq if seq_j is None else seq_j, 4, dtype=w.dtype)
         return self.hb_product(g) * (oh_i @ w @ oh_j.T)
 
+    def tile_energy_fn(self):
+        if self.params.pseq:
+            return None
+        return lambda ri, rj: self.dense_energies(ri[0], rj[0], ri[1], rj[1])
+
+    def tile_energy_soa_fn(self):
+        if self.params.pseq:
+            return None
+        w = self.params.eps_hb_weights
+
+        def tile(ri, rj):
+            g = geom.unbonded_geometry_tile_soa(ri[0], rj[0], self.displacement_soa)
+            oh_i = jax.nn.one_hot(ri[1], 4, dtype=w.dtype)
+            oh_j = jax.nn.one_hot(rj[1], 4, dtype=w.dtype)
+            return self.hb_product(g) * (oh_i @ w @ oh_j.T)
+
+        return tile
+
     def compute_energy(self, nucleotide: BaseNucleotide) -> Scalar:
         if self.block_ids is not None:
             if self.params.pseq:
                 raise NotImplementedError(ERR_PSEQ_PAIR_LIST)
             return blocks.block_pair_sum(
-                lambda ri, rj: self.dense_energies(ri[0], rj[0], ri[1], rj[1]),
+                self.tile_energy_fn(),
                 (nucleotide, jnp.asarray(self.seq)),
                 self.block_ids,
                 self.block_size,
@@ -928,11 +1009,21 @@ class CrossStacking(BaseEnergyFunction):
         g = geom.unbonded_geometry_dense(nuc_i, nuc_j, self.displacement_fn)
         return self.cross_product_term(g)
 
+    def tile_energy_fn(self):
+        return lambda ri, rj: self.dense_energies(ri[0], rj[0])
+
+    def tile_energy_soa_fn(self):
+        def tile(ri, rj):
+            g = geom.unbonded_geometry_tile_soa(ri[0], rj[0], self.displacement_soa)
+            return self.cross_product_term(g)
+
+        return tile
+
     def compute_energy(self, nucleotide: BaseNucleotide) -> Scalar:
         if self.block_ids is not None:
             return blocks.block_pair_sum(
-                self.dense_energies,
-                nucleotide,
+                self.tile_energy_fn(),
+                (nucleotide, jnp.asarray(self.seq)),
                 self.block_ids,
                 self.block_size,
                 nucleotide.center.shape[0],
@@ -1113,11 +1204,21 @@ class CoaxialStacking(BaseEnergyFunction):
         g = geom.coax_geometry_dense(nuc_i, nuc_j, self.displacement_fn)
         return self.coax_product(g)
 
+    def tile_energy_fn(self):
+        return lambda ri, rj: self.dense_energies(ri[0], rj[0])
+
+    def tile_energy_soa_fn(self):
+        def tile(ri, rj):
+            g = geom.coax_geometry_tile_soa(ri[0], rj[0], self.displacement_soa)
+            return self.coax_product(g)
+
+        return tile
+
     def compute_energy(self, nucleotide: BaseNucleotide) -> Scalar:
         if self.block_ids is not None:
             return blocks.block_pair_sum(
-                self.dense_energies,
-                nucleotide,
+                self.tile_energy_fn(),
+                (nucleotide, jnp.asarray(self.seq)),
                 self.block_ids,
                 self.block_size,
                 nucleotide.center.shape[0],

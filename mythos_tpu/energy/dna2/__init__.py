@@ -113,18 +113,78 @@ def default_transform_fn() -> callable:
     )
 
 
+def default_transform_soa_fn() -> callable:
+    """BodySoA -> dna2 NucleotideSoA transform (component-array hot path)."""
+    from mythos_tpu.energy.dna2.nucleotide import NucleotideSoA
+
+    _, default_config = default_configs()
+    geometry = default_config["geometry"]
+    return functools.partial(
+        NucleotideSoA.from_body_soa,
+        com_to_backbone_x=geometry["com_to_backbone_x"],
+        com_to_backbone_y=geometry["com_to_backbone_y"],
+        com_to_backbone_dna1=geometry["com_to_backbone_dna1"],
+        com_to_hb=geometry["com_to_hb"],
+        com_to_stacking=geometry["com_to_stacking"],
+    )
+
+
+def max_site_offset() -> float:
+    """Largest |site - COM| offset in the default dna2 geometry."""
+    import numpy as np
+
+    _, default_config = default_configs()
+    g = default_config["geometry"]
+    back = float(np.hypot(float(g["com_to_backbone_x"]), float(g["com_to_backbone_y"])))
+    others = max(
+        abs(float(g["com_to_backbone_dna1"])),
+        abs(float(g["com_to_hb"])),
+        abs(float(g["com_to_stacking"])),
+    )
+    return max(back, others)
+
+
+def default_neighbor_cutoff(energy_fn: EnergyFunction | None = None) -> float:
+    """COM-distance cutoff covering every unbonded term of the default model."""
+    if energy_fn is not None:
+        return float(energy_fn.pair_cutoff()) + 2.0 * max_site_offset()
+    cutoffs = []
+    for cls, cfg in zip(default_energy_fns(), default_energy_configs(), strict=True):
+        # params-only probe: pair_cutoff depends solely on self.params
+        probe = object.__new__(cls)
+        object.__setattr__(probe, "params", cfg.init_params())
+        c = probe.pair_cutoff()
+        if c is not None:
+            cutoffs.append(float(c))
+    return max(cutoffs) + 2.0 * max_site_offset()
+
+
 def create_default_energy_fn(
     topology: Topology,
     displacement_fn: callable = DEFAULT_DISPLACEMENT,
     dense_unbonded: bool = False,
+    block_unbonded: bool = False,
+    block_size: int = 16,
+    overrides: dict = MappingProxyType({}),
+    opts: dict = MappingProxyType({}),
 ) -> EnergyFunction:
     """The full default oxDNA2 composed energy function for a topology.
 
     ``dense_unbonded=True`` evaluates unbonded terms over dense (N, N) masks
-    (gather-free TPU fast path).
+    (gather-free TPU fast path); ``block_unbonded=True`` selects the
+    block-sparse tile path (pair with simulators.BlockNeighborList and bind
+    the table via ``with_props(block_ids=...)``).
     """
     kwargs = {}
-    if dense_unbonded:
+    if block_unbonded:
+        import jax.numpy as jnp
+
+        from mythos_tpu.energy.blocks import n_blocks_for
+
+        nb = n_blocks_for(topology.n_nucleotides, block_size)
+        kwargs["block_ids"] = jnp.zeros((nb, 0), dtype=jnp.int32)
+        kwargs["block_size"] = block_size
+    elif dense_unbonded:
         import jax.numpy as jnp
 
         from mythos_tpu.simulators.neighbors import dense_pair_mask
@@ -132,8 +192,9 @@ def create_default_energy_fn(
         kwargs["dense_mask"] = jnp.asarray(dense_pair_mask(topology))
     return ComposedEnergyFunction.from_lists(
         energy_fns=default_energy_fns(),
-        energy_configs=default_energy_configs(),
+        energy_configs=default_energy_configs(overrides=overrides, opts=opts),
         transform_fn=default_transform_fn(),
+        transform_soa_fn=default_transform_soa_fn(),
         displacement_fn=displacement_fn,
         topology=topology,
         **kwargs,

@@ -42,6 +42,16 @@ class Stacking(dna1_terms.Stacking):
             weights = self.params.eps_stack[seq[nn_i], seq[nn_j]]
         return weights * v_stack
 
+    def energy_soa(self, nuc, seq) -> Scalar:
+        if self.params.pseq:
+            raise NotImplementedError(dna1_terms.ERR_PSEQ_PAIR_LIST)
+        nn_i, nn_j = self.bonded_neighbors[:, 0], self.bonded_neighbors[:, 1]
+        g = geom.bonded_geometry_soa(
+            nuc, nn_i, nn_j, self.displacement_soa, back=nuc.back_dna1
+        )
+        weights = self.params.eps_stack[seq[nn_i], seq[nn_j]]
+        return (weights * self.stack_product(g)).sum()
+
 
 @chex.dataclass(frozen=True)
 class CoaxialStackingConfiguration(BaseConfiguration):
@@ -203,7 +213,36 @@ class CoaxialStacking(BaseEnergyFunction):
             * (self._f4(6, g.theta6) + self._f4(6, jnp.pi - g.theta6))
         )
 
+    def pair_cutoff(self) -> float:
+        return float(self.params.dr_c_high_coax)
+
+    def dense_energies(self, nuc_i: Nucleotide, nuc_j: Nucleotide) -> Arr:
+        """(Ni, Nj) energies via broadcasts; works on full arrays or tiles."""
+        g = geom.coax_geometry_dense(nuc_i, nuc_j, self.displacement_fn)
+        return self._coax_value(g)
+
+    def tile_energy_fn(self):
+        return lambda ri, rj: self.dense_energies(ri[0], rj[0])
+
+    def tile_energy_soa_fn(self):
+        def tile(ri, rj):
+            g = geom.coax_geometry_tile_soa(ri[0], rj[0], self.displacement_soa)
+            return self._coax_value(g)
+
+        return tile
+
     def compute_energy(self, nucleotide: Nucleotide) -> Scalar:
+        if self.block_ids is not None:
+            from mythos_tpu.energy import blocks
+
+            return blocks.block_pair_sum(
+                self.tile_energy_fn(),
+                (nucleotide, jnp.asarray(self.seq)),
+                self.block_ids,
+                self.block_size,
+                nucleotide.center.shape[0],
+                self.bonded_neighbors,
+            )
         if self.dense_mask is not None:
             g = geom.coax_geometry_dense(nucleotide, nucleotide, self.displacement_fn)
             return jnp.where(self.dense_mask, self._coax_value(g), 0.0).sum()
@@ -319,18 +358,58 @@ class Debye(BaseEnergyFunction):
         mults = jnp.where(p.half_charged_ends, end_i * end_j, 1.0)
         return dgs * mults
 
-    def dense_energies(self, nuc_i, nuc_j) -> Arr:
-        """(N, N) Debye energies via broadcasts (gather-free dense path)."""
+    def dense_energies(self, nuc_i, nuc_j, is_end_i=None, is_end_j=None) -> Arr:
+        """(Ni, Nj) Debye energies via broadcasts; works on tiles too."""
         p = self.params
         dr = self.displacement_fn(nuc_j.back_sites[None, :, :], nuc_i.back_sites[:, None, :])
         # epsilon inside the sqrt keeps the diagonal's gradient finite
         r = jnp.sqrt(jnp.sum(dr * dr, axis=-1) + 1e-18)
         dgs = debye_potential(r, p.kappa, p.prefactor, p.smoothing_coeff, p.r_cut, p.r_high)
-        ends = jnp.where(jnp.asarray(self.is_end), 0.5, 1.0)
-        mults = jnp.where(p.half_charged_ends, ends[:, None] * ends[None, :], 1.0)
+        ends_i = jnp.where(jnp.asarray(self.is_end if is_end_i is None else is_end_i), 0.5, 1.0)
+        ends_j = jnp.where(jnp.asarray(self.is_end if is_end_j is None else is_end_j), 0.5, 1.0)
+        mults = jnp.where(p.half_charged_ends, ends_i[:, None] * ends_j[None, :], 1.0)
         return dgs * mults
 
+    def pair_cutoff(self) -> float:
+        return float(self.params.r_cut)
+
+    def tile_row_fields(self) -> dict:
+        return {"is_end": jnp.asarray(self.is_end)}
+
+    def tile_energy_fn(self):
+        return lambda ri, rj: self.dense_energies(
+            ri[0], rj[0], ri[2]["is_end"], rj[2]["is_end"]
+        )
+
+    def tile_energy_soa_fn(self):
+        p = self.params
+
+        def tile(ri, rj):
+            from mythos_tpu.soa import vdot
+
+            back_i, back_j = geom._rows(ri[0].back), geom._cols(rj[0].back)
+            dr = self.displacement_soa(back_j, back_i)
+            r = jnp.sqrt(vdot(dr, dr) + 1e-18)
+            dgs = debye_potential(r, p.kappa, p.prefactor, p.smoothing_coeff, p.r_cut, p.r_high)
+            ends_i = jnp.where(ri[2]["is_end"], 0.5, 1.0)
+            ends_j = jnp.where(rj[2]["is_end"], 0.5, 1.0)
+            mults = jnp.where(p.half_charged_ends, ends_i[:, None] * ends_j[None, :], 1.0)
+            return dgs * mults
+
+        return tile
+
     def compute_energy(self, nucleotide) -> Scalar:
+        if self.block_ids is not None:
+            from mythos_tpu.energy import blocks
+
+            return blocks.block_pair_sum(
+                self.tile_energy_fn(),
+                (nucleotide, jnp.asarray(self.seq), {"is_end": jnp.asarray(self.is_end)}),
+                self.block_ids,
+                self.block_size,
+                nucleotide.center.shape[0],
+                self.bonded_neighbors,
+            )
         if self.dense_mask is not None:
             vals = self.dense_energies(nucleotide, nucleotide)
             return jnp.where(self.dense_mask, vals, 0.0).sum()

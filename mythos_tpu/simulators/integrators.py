@@ -25,11 +25,13 @@ projection). Everything is pure jnp -> one fused XLA step inside lax.scan.
 from __future__ import annotations
 
 from collections.abc import Callable
-from typing import Any
+from typing import Any, NamedTuple
 
 import chex
 import jax
 import jax.numpy as jnp
+
+from mythos_tpu import soa
 
 from mythos_tpu.rigid_body import (
     RigidBody,
@@ -161,6 +163,137 @@ def nvt_langevin(
         ell = ell + 0.5 * dt * torque
 
         return state.replace(
+            position=new_pos, momentum=p, angmom=ell, force=force, torque=torque, key=key
+        )
+
+    return init_fn, step_fn
+
+
+# SoA hot path -----------------------------------------------------------------
+
+
+class LangevinStateSoA(NamedTuple):
+    """SoA integrator state: every leaf is an (N,) component array.
+
+    See mythos_tpu/soa.py for why: (N, 3)/(N, 4) arrays put the 3/4 in the
+    128-lane dimension and waste ~40x bandwidth per materialized
+    intermediate; component arrays make the whole BAOAB step a perfectly
+    laned elementwise program (measured 260x on the free-rotor alone).
+    """
+
+    position: "soa.BodySoA"
+    momentum: "soa.Vec3"
+    angmom: "soa.Vec3"
+    force: "soa.Vec3"
+    torque: "soa.Vec3"
+    inv_mass: Arr  # scalar or (N,)
+    inv_inertia: "soa.Vec3"  # scalars or (N,) per principal axis
+    key: Arr
+
+
+def nvt_langevin_soa(
+    energy_fn: Callable,
+    shift_fn: Callable,
+    dt: Scalar,
+    kT: Scalar,  # noqa: N803 - domain casing
+    gamma: RigidBody,
+) -> tuple[Callable, Callable]:
+    """SoA rigid-body BAOAB Langevin: same scheme as :func:`nvt_langevin`.
+
+    ``energy_fn(body: BodySoA, **kwargs) -> scalar``; ``shift_fn`` operates
+    on Vec3 (spaces.free_soa / periodic_soa). Forces/torques come from one
+    reverse-mode gradient w.r.t. the SoA body.
+    """
+    dt = jnp.asarray(dt)
+
+    def force_torque(body: soa.BodySoA, **kwargs: Any) -> tuple[soa.Vec3, soa.Vec3]:
+        grads = jax.grad(lambda b: energy_fn(b, **kwargs))(body)
+        force = soa.Vec3(-grads.center.x, -grads.center.y, -grads.center.z)
+        torque = soa.quat_cotangent_to_torque_soa(body.orientation, grads.orientation)
+        return force, torque
+
+    def init_fn(key: Arr, R: soa.BodySoA, mass: RigidBody, **kwargs: Any) -> LangevinStateSoA:  # noqa: N803
+        n = R.center.x.shape[0]
+        dtype = R.center.x.dtype
+        m = jnp.asarray(mass.center, dtype=dtype).reshape(-1)
+        m = m[0] if m.shape[0] == 1 else m
+        inertia = jnp.asarray(mass.orientation, dtype=dtype).reshape(-1, 3)
+        if inertia.shape[0] == 1:
+            iv = soa.Vec3(inertia[0, 0], inertia[0, 1], inertia[0, 2])
+        else:
+            iv = soa.Vec3(inertia[:, 0], inertia[:, 1], inertia[:, 2])
+
+        key, *ks = jax.random.split(key, 7)
+        sm = jnp.sqrt(m * kT)
+        momentum = soa.Vec3(*(jax.random.normal(k, (n,), dtype) * sm for k in ks[:3]))
+        angmom = soa.Vec3(
+            *(
+                jax.random.normal(k, (n,), dtype) * jnp.sqrt(i * kT)
+                for k, i in zip(ks[3:], iv, strict=True)
+            )
+        )
+        force, torque = force_torque(R, **kwargs)
+        return LangevinStateSoA(
+            position=R,
+            momentum=momentum,
+            angmom=angmom,
+            force=force,
+            torque=torque,
+            inv_mass=1.0 / m,
+            inv_inertia=soa.Vec3(1.0 / iv.x, 1.0 / iv.y, 1.0 / iv.z),
+            key=key,
+        )
+
+    def step_fn(state: LangevinStateSoA, **kwargs: Any) -> LangevinStateSoA:
+        inv_m = state.inv_mass
+        inv_i = state.inv_inertia
+        pos = state.position
+        half = 0.5 * dt
+
+        # B
+        p = state.momentum + half * state.force
+        ell = state.angmom + half * state.torque
+
+        # A (half)
+        x = shift_fn(pos.center, (half * inv_m) * p)
+        q, ell = soa.free_rotor_soa(pos.orientation, ell, inv_i, half)
+
+        # O: exact OU. c depends only on static gamma/mass -> constants
+        dtype = x.x.dtype
+        g_t = jnp.asarray(gamma.center, dtype=dtype).reshape(-1)
+        g_t = g_t[0] if g_t.shape[0] == 1 else g_t
+        g_r = jnp.asarray(gamma.orientation, dtype=dtype).reshape(-1)
+        g_r = g_r[0] if g_r.shape[0] == 1 else g_r
+        c_t = jnp.exp(-g_t * dt * inv_m)
+        s_t = jnp.sqrt((1.0 - c_t * c_t) * kT / inv_m)
+        key, *ks = jax.random.split(state.key, 7)
+        n = x.x.shape[0]
+        p = soa.Vec3(
+            *(
+                c_t * pc + s_t * jax.random.normal(k, (n,), dtype)
+                for pc, k in zip(p, ks[:3], strict=True)
+            )
+        )
+        ell = soa.Vec3(
+            *(
+                jnp.exp(-g_r * dt * ii) * lc
+                + jnp.sqrt((1.0 - jnp.exp(-2.0 * g_r * dt * ii)) * kT / ii)
+                * jax.random.normal(k, (n,), dtype)
+                for lc, ii, k in zip(ell, inv_i, ks[3:], strict=True)
+            )
+        )
+
+        # A (half)
+        x = shift_fn(x, (half * inv_m) * p)
+        q, ell = soa.free_rotor_soa(q, ell, inv_i, half)
+        new_pos = soa.BodySoA(center=x, orientation=q)
+
+        # force refresh + B
+        force, torque = force_torque(new_pos, **kwargs)
+        p = p + half * force
+        ell = ell + half * torque
+
+        return state._replace(
             position=new_pos, momentum=p, angmom=ell, force=force, torque=torque, key=key
         )
 

@@ -26,6 +26,7 @@ from collections.abc import Callable
 from typing import Protocol
 
 import chex
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -194,38 +195,52 @@ class BlockNeighborList:
     def n_blocks(self) -> int:
         return -(-self.n // self.block_size)
 
-    def build_ids(self, centers: Arr) -> tuple[Arr, Arr]:
-        """(n_blocks, capacity) active column-block table + overflow flag."""
+    def _ids_from_components(self, x: Arr, y: Arr, z: Arr) -> tuple[Arr, Arr]:
+        """Shared AABB + compaction given (N,) position components."""
         nb, b_sz = self.n_blocks, self.block_size
         n_pad = nb * b_sz
-        pad = n_pad - centers.shape[0]
-        x = jnp.pad(centers, ((0, pad), (0, 0))) if pad else centers
-        x = x.reshape(nb, b_sz, 3)
-        # padded rows must not stretch the last block's AABB
-        row_valid = (jnp.arange(n_pad) < self.n).reshape(nb, b_sz, 1)
+
+        def blocked(c: Arr) -> Arr:
+            pad = n_pad - c.shape[0]
+            c = jnp.pad(c, (0, pad)) if pad else c
+            return c.reshape(nb, b_sz)
+
+        row_valid = (jnp.arange(n_pad) < self.n).reshape(nb, b_sz)
         big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
-        lo = jnp.min(jnp.where(row_valid, x, big), axis=1)
-        hi = jnp.max(jnp.where(row_valid, x, -big), axis=1)
 
-        # separation between AABBs a and b along each axis, clamped at 0
-        gap = jnp.maximum(
-            jnp.maximum(lo[:, None, :] - hi[None, :, :], lo[None, :, :] - hi[:, None, :]),
-            0.0,
-        )
-        dist2 = jnp.sum(gap * gap, axis=-1)
+        dist2 = 0.0
+        for c in (x, y, z):
+            cb = blocked(c)
+            lo = jnp.min(jnp.where(row_valid, cb, big), axis=1)  # (nb,)
+            hi = jnp.max(jnp.where(row_valid, cb, -big), axis=1)
+            gap = jnp.maximum(
+                jnp.maximum(lo[:, None] - hi[None, :], lo[None, :] - hi[:, None]), 0.0
+            )
+            dist2 = dist2 + gap * gap
+
         cut = self.r_cutoff + self.dr_threshold
-        iu = jnp.triu_indices(nb, k=0)  # b >= a, diagonal included
-        hit = jnp.zeros((nb, nb), dtype=bool).at[iu].set(dist2[iu] < cut * cut)
+        col = jnp.arange(nb, dtype=jnp.int32)
+        hit = (dist2 < cut * cut) & (col[None, :] >= col[:, None])  # b >= a only
 
-        # per-row compaction: hits first, padded with nb
-        order = jnp.argsort(~hit, axis=1)[:, : self.capacity]
-        valid = jnp.take_along_axis(hit, order, axis=1)
-        ids = jnp.where(valid, order, nb).astype(jnp.int32)
+        # top-k compaction (cheaper than a full row argsort): score hits by
+        # descending column order so top_k returns the hit columns themselves
+        score = jnp.where(hit, (nb - col)[None, :].astype(jnp.int32), 0)
+        k = min(self.capacity, nb)
+        vals, idxs = jax.lax.top_k(score, k)
+        ids = jnp.where(vals > 0, idxs.astype(jnp.int32), nb)
+        if k < self.capacity:  # keep the advertised (nb, capacity) shape
+            ids = jnp.pad(ids, ((0, 0), (0, self.capacity - k)), constant_values=nb)
         overflow = jnp.any(jnp.sum(hit, axis=1) > self.capacity)
         return ids, overflow
 
-    def build(self, centers: Arr) -> tuple[Arr, Arr]:
-        """Alias used by the simulator's carry-only-arrays scan path."""
+    def build_ids(self, centers: Arr) -> tuple[Arr, Arr]:
+        """(n_blocks, capacity) active column-block table + overflow flag."""
+        return self._ids_from_components(centers[:, 0], centers[:, 1], centers[:, 2])
+
+    def build(self, centers) -> tuple[Arr, Arr]:
+        """Alias used by the simulator's scan path; accepts (N, 3) or Vec3."""
+        if isinstance(centers, tuple):  # soa.Vec3 NamedTuple
+            return self._ids_from_components(*centers)
         return self.build_ids(centers)
 
     def allocate(self, centers: Arr) -> "BlockNeighborList":

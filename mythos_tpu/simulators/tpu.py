@@ -9,11 +9,15 @@ through the dynamics sees the full parameter dependency.
 TPU-first details:
 * the integrator is the native rigid-body BAOAB (simulators/integrators.py),
   fused with the energy/force evaluation into a single XLA while-loop body;
+* when the energy function supports it, the whole hot loop runs on
+  structure-of-arrays state (see mythos_tpu/soa.py: (N, 3)/(N, 4) arrays
+  waste ~40x of the 128-lane registers; component arrays measured 260x
+  faster on the free-rotor update);
 * ``save_every`` thins the emitted trajectory (the reference emits every
   step, which at TPU step rates would be HBM-bound);
-* neighbor lists are fixed-capacity and rebuilt functionally at
-  ``neighbor_update_every`` strides via lax.cond-free arithmetic (the rebuild
-  is cheap relative to the force pass for the sizes where it matters).
+* dynamic neighbor tables are rebuilt once per ``neighbor_update_every``
+  chunk -- the scan nests so the rebuild sits OUTSIDE the stepping loop
+  instead of running (and being discarded) every step.
 """
 
 from __future__ import annotations
@@ -28,6 +32,7 @@ import jax.numpy as jnp
 
 import mythos_tpu.simulators.base as sim_base
 import mythos_tpu.simulators.io as sio
+from mythos_tpu import soa, spaces
 from mythos_tpu.energy.base import EnergyFunction
 from mythos_tpu.rigid_body import RigidBody
 from mythos_tpu.simulators import integrators
@@ -37,6 +42,10 @@ from mythos_tpu.utils.types import Arr, Params, PyTree, Scalar
 
 ERR_CHKPNT_SCN = "`checkpoint_every` must evenly divide the length of `xs`. Got {} and {}."
 ERR_SAVE_EVERY = "`save_every` must evenly divide n_steps. Got {} and {}."
+ERR_UPDATE_EVERY = (
+    "`neighbor_update_every` must divide save_every (or n_steps when emitting "
+    "every step). Got {} and {}."
+)
 
 
 @chex.dataclass
@@ -80,18 +89,20 @@ def flatten_n(x: PyTree, n: int) -> PyTree:
     return jax.tree.map(lambda y: jnp.reshape(y, (-1, *y.shape[n:])), x)
 
 
-def checkpoint_scan(f: Callable, init: PyTree, xs: PyTree, checkpoint_every: int) -> tuple[PyTree, PyTree]:
+def checkpoint_scan(f: Callable, init: PyTree, xs: PyTree, checkpoint_every: int, length: int | None = None) -> tuple[PyTree, PyTree]:
     """lax.scan with jax.checkpoint around chunks of ``checkpoint_every``.
 
     The memory-vs-recompute lever for differentiating long trajectories:
     only chunk boundaries are stored; interiors recompute in the backward
     pass.
     """
+    if xs is None:
+        xs = jnp.arange(length)
     flat_xs, _ = jax.tree_util.tree_flatten(xs)
-    length = flat_xs[0].shape[0]
-    outer, residual = divmod(length, checkpoint_every)
+    n = flat_xs[0].shape[0]
+    outer, residual = divmod(n, checkpoint_every)
     if residual:
-        raise ValueError(ERR_CHKPNT_SCN.format(checkpoint_every, length))
+        raise ValueError(ERR_CHKPNT_SCN.format(checkpoint_every, n))
     reshaped = split_and_stack(xs, outer)
 
     @jax.checkpoint
@@ -108,6 +119,10 @@ class TpuSimulator(sim_base.Simulator):
 
     run(opt_params, init_state, n_steps, key) -> SimulatorOutput with one
     SimulatorTrajectory observable. The whole run is one jittable program.
+
+    ``use_soa=None`` auto-enables the structure-of-arrays hot path when the
+    energy function and neighbor strategy support it. Periodic systems on
+    the SoA path must supply ``space_soa`` (spaces.periodic_soa).
     """
 
     energy_fn: EnergyFunction
@@ -117,6 +132,8 @@ class TpuSimulator(sim_base.Simulator):
     neighbors: NeighborHelper | None = None
     save_every: int = 1
     neighbor_update_every: int = 1
+    space_soa: Space | None = None
+    use_soa: bool | None = None
 
     def __post_init__(self) -> None:
         object.__setattr__(
@@ -130,6 +147,8 @@ class TpuSimulator(sim_base.Simulator):
                 self.neighbors,
                 save_every=self.save_every,
                 neighbor_update_every=self.neighbor_update_every,
+                space_soa=self.space_soa,
+                use_soa=self.use_soa,
             ),
         )
 
@@ -142,9 +161,33 @@ def build_run_fn(
     neighbors: NeighborHelper | None,
     save_every: int = 1,
     neighbor_update_every: int = 1,
+    space_soa: Space | None = None,
+    use_soa: bool | None = None,
 ) -> Callable:
     """Build the jittable run function."""
+    from mythos_tpu.simulators.neighbors import BlockNeighborList, DensePairs, NoNeighborList
+
     _, shift_fn = space
+    static_nbrs = isinstance(neighbors, (NoNeighborList, DensePairs))
+    block_nbrs = isinstance(neighbors, BlockNeighborList)
+
+    if use_soa is None:
+        use_soa = (
+            block_nbrs
+            and simulator_init is integrators.nvt_langevin
+            and getattr(energy_fn, "supports_soa", lambda: False)()
+        )
+    if use_soa:
+        shift = (space_soa or spaces.free_soa())[1]
+        sim_init = (
+            integrators.nvt_langevin_soa
+            if simulator_init is integrators.nvt_langevin
+            else simulator_init
+        )
+    else:
+        shift = shift_fn
+        sim_init = simulator_init
+
     scan_fn = (
         jax.lax.scan
         if simulator_params.checkpoint_every <= 0
@@ -166,94 +209,114 @@ def build_run_fn(
         # so gradients flow through the derivation.
         updated_energy_fn = energy_fn.with_params(opt_params)
 
-        from mythos_tpu.simulators.neighbors import BlockNeighborList, DensePairs, NoNeighborList
-
         if isinstance(neighbors, DensePairs):
             # dense path: the terms carry their (constant) pair masks
-            def _energy_fn(body: RigidBody, unbonded_neighbors=None) -> Scalar:
+            def _energy_fn(body, unbonded_neighbors=None) -> Scalar:
                 return updated_energy_fn(body)
-        elif isinstance(neighbors, BlockNeighborList):
+        elif block_nbrs:
             # block-sparse tile path: the table rides the generic
             # unbonded_neighbors plumbing but binds as block_ids
-            def _energy_fn(body: RigidBody, unbonded_neighbors: Arr) -> Scalar:
-                return updated_energy_fn.with_props(block_ids=unbonded_neighbors)(body)
+            if use_soa:
+
+                def _energy_fn(body, unbonded_neighbors: Arr) -> Scalar:
+                    return updated_energy_fn.with_props(
+                        block_ids=unbonded_neighbors
+                    ).energy_soa(body)
+            else:
+
+                def _energy_fn(body, unbonded_neighbors: Arr) -> Scalar:
+                    return updated_energy_fn.with_props(block_ids=unbonded_neighbors)(body)
         else:
 
-            def _energy_fn(body: RigidBody, unbonded_neighbors: Arr) -> Scalar:
+            def _energy_fn(body, unbonded_neighbors: Arr) -> Scalar:
                 return updated_energy_fn.with_props(unbonded_neighbors=unbonded_neighbors)(body)
 
-        init_fn, step_fn = simulator_init(_energy_fn, shift_fn, **simulator_params.sim_init_fn)
+        init_fn, step_fn = sim_init(_energy_fn, shift, **simulator_params.sim_init_fn)
 
         nbrs0 = neighbors
+        r0 = soa.to_soa(init_state) if use_soa and isinstance(init_state, RigidBody) else init_state
         state = init_fn(
             key=key,
-            R=init_state,
+            R=r0,
             unbonded_neighbors=nbrs0.idx,
             **simulator_params.init_fn,
         )
 
-        # A static pair list need not ride the scan carry: keeping it closed
-        # over lets XLA treat the gather indices as constants. Dynamic lists
-        # carry ONLY their arrays (idx, overflow); the list object itself --
-        # with static ints like capacity/block_size -- stays closed over, so
-        # scan never traces values that shape the program.
-        static_nbrs = isinstance(neighbors, (NoNeighborList, DensePairs))
+        def inner_steps(state, idx, length):
+            def f(s, _):
+                return step_fn(s, unbonded_neighbors=idx, **simulator_params.step_fn), None
 
-        def one_step(carry, step_idx):
-            state, idx, overflow = carry
-            state = step_fn(state, unbonded_neighbors=idx, **simulator_params.step_fn)
-            if neighbor_update_every <= 1:
-                idx, ovf = neighbors.build(state.position.center)
-                overflow = overflow | ovf
-            else:
-                do_update = (step_idx % neighbor_update_every) == 0
-                new_idx, ovf = neighbors.build(state.position.center)
-                idx = jnp.where(do_update, new_idx, idx)
-                overflow = overflow | (do_update & ovf)
-            return (state, idx, overflow), None
+            return jax.lax.scan(f, state, None, length=length)[0]
+
+        def inner_steps_emit(state, idx, length):
+            def f(s, _):
+                s = step_fn(s, unbonded_neighbors=idx, **simulator_params.step_fn)
+                return s, s.position
+
+            return jax.lax.scan(f, state, None, length=length)
 
         if static_nbrs:
-            # close over the list; carry only the integrator state
-            def step_adapter(state, step_idx):
-                state = step_fn(
-                    state, unbonded_neighbors=nbrs0.idx, **simulator_params.step_fn
-                )
-                return state, None
+            # A static list never rebuilds: close over it so XLA treats the
+            # pair indices as constants.
+            if save_every <= 1:
 
-            carry0 = state
+                def apply_fn(carry, _):
+                    carry, pos = inner_steps_emit(carry, nbrs0.idx, 1)
+                    return carry, jax.tree.map(lambda x: x[0], pos)
 
-            def position_of(carry):
-                return carry.position
+                _, trajectory = scan_fn(apply_fn, state, None, length=n_steps)
+                n_states = n_steps
+            else:
+
+                def apply_fn(carry, _):
+                    carry = inner_steps(carry, nbrs0.idx, save_every)
+                    return carry, carry.position
+
+                _, trajectory = scan_fn(apply_fn, state, None, length=n_steps // save_every)
+                n_states = n_steps // save_every
         else:
+            u = max(1, neighbor_update_every)
             overflow0 = (
-                nbrs0.did_overflow
-                if nbrs0.did_overflow is not None
-                else jnp.asarray(False)
+                nbrs0.did_overflow if nbrs0.did_overflow is not None else jnp.asarray(False)
             )
-            carry0 = (state, nbrs0.idx, overflow0)
-            step_adapter = one_step
+            carry0 = (state, overflow0)
 
-            def position_of(carry):
-                return carry[0].position
+            def centers_of(state):
+                return state.position.center
 
-        if save_every <= 1:
+            if save_every <= 1:
+                # outer loop = rebuild chunks, emitting every step inside
+                if n_steps % u:
+                    raise ValueError(ERR_UPDATE_EVERY.format(u, n_steps))
 
-            def apply_fn(carry, step_idx):
-                carry, _ = step_adapter(carry, step_idx)
-                return carry, position_of(carry)
+                def apply_fn(carry, _):
+                    state, overflow = carry
+                    idx, ovf = nbrs0.build(centers_of(state))
+                    state, pos = inner_steps_emit(state, idx, u)
+                    return (state, overflow | ovf), pos
 
-            _, trajectory = scan_fn(apply_fn, carry0, jnp.arange(n_steps))
-            n_states = n_steps
-        else:
+                _, trajectory = scan_fn(apply_fn, carry0, None, length=n_steps // u)
+                trajectory = flatten_n(trajectory, 2)
+                n_states = n_steps
+            else:
+                if save_every % u:
+                    raise ValueError(ERR_UPDATE_EVERY.format(u, save_every))
 
-            def apply_fn(carry, chunk):
-                carry, _ = jax.lax.scan(step_adapter, carry, chunk)
-                return carry, position_of(carry)
+                def rebuild_chunk(carry, _):
+                    state, overflow = carry
+                    idx, ovf = nbrs0.build(centers_of(state))
+                    state = inner_steps(state, idx, u)
+                    return (state, overflow | ovf), None
 
-            steps = jnp.arange(n_steps).reshape(n_steps // save_every, save_every)
-            _, trajectory = scan_fn(apply_fn, carry0, steps)
-            n_states = n_steps // save_every
+                def apply_fn(carry, _):
+                    carry, _ = jax.lax.scan(rebuild_chunk, carry, None, length=save_every // u)
+                    return carry, carry[0].position
 
+                _, trajectory = scan_fn(apply_fn, carry0, None, length=n_steps // save_every)
+                n_states = n_steps // save_every
+
+        if use_soa:
+            trajectory = soa.from_soa(trajectory)
         traj = sio.SimulatorTrajectory.from_rigid_body(
             trajectory,
             temperature=jnp.full(n_states, simulator_params.kT),

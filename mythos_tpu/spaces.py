@@ -48,3 +48,44 @@ def periodic(box_size: Union[float, Arr]) -> Space:
         return jnp.mod(r + dr, box)
 
     return displacement, shift
+
+
+# SoA variants -----------------------------------------------------------------
+#
+# The hot loop runs on component arrays (see mythos_tpu/soa.py for why);
+# these spaces operate on Vec3 NamedTuples per component. Same jax-md
+# conventions as above.
+
+
+def free_soa() -> Space:
+    """Unbounded space over Vec3 component fields."""
+
+    def displacement(ra, rb):
+        return ra - rb
+
+    def shift(r, dr):
+        return r + dr
+
+    return displacement, shift
+
+
+def periodic_soa(box_size: Union[float, Arr]) -> Space:
+    """Periodic box over Vec3 component fields (box scalar or (3,))."""
+    import numpy as np
+
+    b = np.asarray(box_size, dtype=np.float64).reshape(-1)
+    bx, by, bz = (float(b[0]),) * 3 if b.size == 1 else (float(b[0]), float(b[1]), float(b[2]))
+
+    def displacement(ra, rb):
+        from mythos_tpu.soa import Vec3
+
+        return Vec3(
+            *(d - bb * jnp.round(d / bb) for d, bb in zip(ra - rb, (bx, by, bz), strict=True))
+        )
+
+    def shift(r, dr):
+        from mythos_tpu.soa import Vec3
+
+        return Vec3(*(jnp.mod(c + dc, bb) for c, dc, bb in zip(r, dr, (bx, by, bz), strict=True)))
+
+    return displacement, shift
