@@ -128,6 +128,12 @@ class BaseEnergyFunction(EnergyFunction):
     block_ids: Arr | None = None
     #: rows per block for the block-sparse path (static)
     block_size: int = 64
+    #: (N,) bool, True where (i, i+1) is a bonded pair -- set automatically
+    #: when every bonded pair is consecutive (oxDNA strand ordering). Lets
+    #: the SoA bonded terms use jnp.roll instead of gathers (roll is a lane
+    #: rotate with an equally cheap transpose; per-element gathers/scatters
+    #: dominated the bonded gradient at large N).
+    bonded_next_mask: Arr | None = None
 
     def __post_init__(self, topology: Topology | None) -> None:
         if topology:
@@ -150,6 +156,17 @@ class BaseEnergyFunction(EnergyFunction):
             raise ValueError(ERR_MISSING_TOPOLOGY)
         elif isinstance(self.seq, np.ndarray):
             object.__setattr__(self, "seq", jnp.asarray(self.seq))
+
+        if self.bonded_next_mask is None and not isinstance(self.seq, tuple):
+            try:
+                bn = np.asarray(self.bonded_neighbors)
+                n = len(self.seq)
+            except Exception:  # traced arrays: keep the gather path
+                bn = None
+            if bn is not None and bn.size and bool(np.all(bn[:, 1] == bn[:, 0] + 1)):
+                mask = np.zeros(n, dtype=bool)
+                mask[bn[:, 0]] = True
+                object.__setattr__(self, "bonded_next_mask", jnp.asarray(mask))
 
     @classmethod
     def create_from(cls, other: "EnergyFunction", **kwargs) -> "EnergyFunction":

@@ -297,47 +297,23 @@ def unbonded_geometry_tile_soa(
     nuc_j,  # NucleotideSoA cols, (B,) leaves
     displacement_fn,  # SoA displacement over Vec3
 ) -> UnbondedGeometry:
-    """(B, B) tile of the HB/cross-stacking angle set, fully elementwise."""
-    a1_i, a1_j = _rows(nuc_i.a1), _cols(nuc_j.a1)
-    n_i, n_j = _rows(nuc_i.a3), _cols(nuc_j.a3)
-
-    dr_base = displacement_fn(_cols(nuc_j.base), _rows(nuc_i.base))
-    r_base = _vnorm_tile(dr_base)
-    inv_r = 1.0 / r_base
-
-    return UnbondedGeometry(
-        dr_base=dr_base,
-        r_base=r_base,
-        theta1=safe_arccos(-vdot(a1_i, a1_j)),
-        theta2=safe_arccos(-vdot(a1_j, dr_base) * inv_r),
-        theta3=safe_arccos(vdot(a1_i, dr_base) * inv_r),
-        theta4=safe_arccos(vdot(n_i, n_j)),
-        theta7=safe_arccos(-vdot(n_j, dr_base) * inv_r),
-        theta8=jnp.pi - safe_arccos(vdot(n_i, dr_base) * inv_r),
+    """(B, M) tile of the HB/cross-stacking angle set, fully elementwise."""
+    return unbonded_geometry_vec(
+        _rows(nuc_i.base), _cols(nuc_j.base),
+        _rows(nuc_i.a1), _cols(nuc_j.a1),
+        _rows(nuc_i.a3), _cols(nuc_j.a3),
+        displacement_fn,
     )
 
 
 def coax_geometry_tile_soa(nuc_i, nuc_j, displacement_fn) -> CoaxGeometry:
-    """(B, B) tile of the coaxial-stacking angle set."""
-    a1_i, a1_j = _rows(nuc_i.a1), _cols(nuc_j.a1)
-    n_i, n_j = _rows(nuc_i.a3), _cols(nuc_j.a3)
-
-    dr_stack = displacement_fn(_cols(nuc_j.stack), _rows(nuc_i.stack))
-    r_stack = _vnorm_tile(dr_stack)
-    dr_stack_norm = dr_stack * (1.0 / r_stack)
-
-    dr_back = displacement_fn(_cols(nuc_j.back), _rows(nuc_i.back))
-    dr_back_norm = dr_back * (1.0 / _vnorm_tile(dr_back))
-
-    return CoaxGeometry(
-        dr_stack=dr_stack,
-        r_stack=r_stack,
-        theta1=safe_arccos(-vdot(a1_i, a1_j)),
-        theta4=safe_arccos(vdot(n_i, n_j)),
-        theta5=safe_arccos(vdot(n_i, dr_stack_norm)),
-        theta6=safe_arccos(-vdot(n_j, dr_stack_norm)),
-        cosphi3=vdot(dr_stack_norm, vcross(dr_back_norm, a1_j)),
-        cosphi4=vdot(dr_stack_norm, vcross(dr_back_norm, a1_i)),
+    """(B, M) tile of the coaxial-stacking angle set."""
+    return coax_geometry_vec(
+        _rows(nuc_i.stack), _cols(nuc_j.stack),
+        _rows(nuc_i.back), _cols(nuc_j.back),
+        _rows(nuc_i.a1), _cols(nuc_j.a1),
+        _rows(nuc_i.a3), _cols(nuc_j.a3),
+        displacement_fn,
     )
 
 
@@ -383,4 +359,99 @@ def bonded_geometry_soa(
         theta6=jnp.pi - safe_arccos(vdot(n_i, dr_stack) * inv_r_stack),
         cosphi1=-vdot(_gather_vec3(nuc.a2, nn_i), dr_back) * inv_r_back,
         cosphi2=-vdot(_gather_vec3(nuc.a2, nn_j), dr_back) * inv_r_back,
+    )
+
+
+def _roll_vec3(v: Vec3) -> Vec3:
+    """Partner fields for consecutive bonded pairs: j = i + 1 via lane roll."""
+    return Vec3(jnp.roll(v.x, -1), jnp.roll(v.y, -1), jnp.roll(v.z, -1))
+
+
+def bonded_geometry_shift_soa(
+    nuc,  # NucleotideSoA, (N,) leaves
+    displacement_fn,
+    back: Vec3 | None = None,
+) -> BondedGeometry:
+    """(N,) bonded geometry with partner j = i + 1 via jnp.roll (no gathers).
+
+    Valid only where the term's ``bonded_next_mask`` is True -- rows whose
+    successor is not a bonded partner (strand ends, wrap-around) compute
+    finite garbage that callers mask to zero. Roll is a lane rotate on TPU,
+    and its transpose is a roll the other way: the whole bonded gradient
+    becomes gather/scatter-free.
+    """
+    bs = nuc.back if back is None else back
+    back_i, back_j = bs, _roll_vec3(bs)
+    base_i, base_j = nuc.base, _roll_vec3(nuc.base)
+    n_i, n_j = nuc.a3, _roll_vec3(nuc.a3)
+    stack_i, stack_j = nuc.stack, _roll_vec3(nuc.stack)
+
+    dr_back = displacement_fn(back_i, back_j)
+    r_back = jnp.sqrt(vdot(dr_back, dr_back) + 1e-18)
+    dr_stack = displacement_fn(stack_i, stack_j)
+    r_stack = jnp.sqrt(vdot(dr_stack, dr_stack) + 1e-18)
+    inv_r_stack = 1.0 / r_stack
+    inv_r_back = 1.0 / r_back
+
+    return BondedGeometry(
+        dr_back=dr_back,
+        r_back=r_back,
+        dr_stack=dr_stack,
+        r_stack=r_stack,
+        dr_base=displacement_fn(base_i, base_j),
+        dr_back_base=displacement_fn(back_i, base_j),
+        dr_base_back=displacement_fn(base_i, back_j),
+        theta4=safe_arccos(vdot(n_i, n_j)),
+        theta5=jnp.pi - safe_arccos(vdot(n_j, dr_stack) * inv_r_stack),
+        theta6=jnp.pi - safe_arccos(vdot(n_i, dr_stack) * inv_r_stack),
+        cosphi1=-vdot(nuc.a2, dr_back) * inv_r_back,
+        cosphi2=-vdot(_roll_vec3(nuc.a2), dr_back) * inv_r_back,
+    )
+
+
+def unbonded_geometry_vec(
+    base_i: Vec3, base_j: Vec3, a1_i: Vec3, a1_j: Vec3, n_i: Vec3, n_j: Vec3, displacement_fn,
+    arccos=safe_arccos,
+) -> UnbondedGeometry:
+    """HB/cross angle set from pre-broadcast Vec3 fields (any shapes).
+
+    The single source of the tile formulas: the (B, M) XLA tile path and the
+    Pallas kernels (ops/oxdna_tiles.py) both call this, so parity is by
+    construction.
+    """
+    dr_base = displacement_fn(base_j, base_i)
+    r_base = jnp.sqrt(vdot(dr_base, dr_base) + 1e-18)
+    inv_r = 1.0 / r_base
+    return UnbondedGeometry(
+        dr_base=dr_base,
+        r_base=r_base,
+        theta1=arccos(-vdot(a1_i, a1_j)),
+        theta2=arccos(-vdot(a1_j, dr_base) * inv_r),
+        theta3=arccos(vdot(a1_i, dr_base) * inv_r),
+        theta4=arccos(vdot(n_i, n_j)),
+        theta7=arccos(-vdot(n_j, dr_base) * inv_r),
+        theta8=jnp.pi - arccos(vdot(n_i, dr_base) * inv_r),
+    )
+
+
+def coax_geometry_vec(
+    stack_i: Vec3, stack_j: Vec3, back_i: Vec3, back_j: Vec3,
+    a1_i: Vec3, a1_j: Vec3, n_i: Vec3, n_j: Vec3, displacement_fn,
+    arccos=safe_arccos,
+) -> CoaxGeometry:
+    """Coaxial-stacking angle set from pre-broadcast Vec3 fields."""
+    dr_stack = displacement_fn(stack_j, stack_i)
+    r_stack = jnp.sqrt(vdot(dr_stack, dr_stack) + 1e-18)
+    dr_stack_norm = dr_stack * (1.0 / r_stack)
+    dr_back = displacement_fn(back_j, back_i)
+    dr_back_norm = dr_back * (1.0 / jnp.sqrt(vdot(dr_back, dr_back) + 1e-18))
+    return CoaxGeometry(
+        dr_stack=dr_stack,
+        r_stack=r_stack,
+        theta1=arccos(-vdot(a1_i, a1_j)),
+        theta4=arccos(vdot(n_i, n_j)),
+        theta5=arccos(vdot(n_i, dr_stack_norm)),
+        theta6=arccos(-vdot(n_j, dr_stack_norm)),
+        cosphi3=vdot(dr_stack_norm, vcross(dr_back_norm, a1_j)),
+        cosphi4=vdot(dr_stack_norm, vcross(dr_back_norm, a1_i)),
     )

@@ -130,10 +130,14 @@ class Fene(BaseEnergyFunction):
         return self.pairwise_energies(nucleotide, self.bonded_neighbors).sum()
 
     def energy_soa(self, nuc, seq) -> Scalar:
+        p = self.params
+        if self.bonded_next_mask is not None:
+            g = geom.bonded_geometry_shift_soa(nuc, self.displacement_soa)
+            vals = v_fene_smooth(g.r_back, p.eps_backbone, p.r0_backbone, p.delta_backbone, p.fmax, p.finf)
+            return jnp.where(self.bonded_next_mask, vals, 0.0).sum()
         g = geom.bonded_geometry_soa(
             nuc, self.bonded_neighbors[:, 0], self.bonded_neighbors[:, 1], self.displacement_soa
         )
-        p = self.params
         return v_fene_smooth(
             g.r_back, p.eps_backbone, p.r0_backbone, p.delta_backbone, p.fmax, p.finf
         ).sum()
@@ -236,11 +240,14 @@ class BondedExcludedVolume(BaseEnergyFunction):
         return self.pairwise_energies(nucleotide, self.bonded_neighbors).sum()
 
     def energy_soa(self, nuc, seq) -> Scalar:
-        g = geom.bonded_geometry_soa(
-            nuc, self.bonded_neighbors[:, 0], self.bonded_neighbors[:, 1], self.displacement_soa
-        )
         p = self.params
-        return (
+        if self.bonded_next_mask is not None:
+            g = geom.bonded_geometry_shift_soa(nuc, self.displacement_soa)
+        else:
+            g = geom.bonded_geometry_soa(
+                nuc, self.bonded_neighbors[:, 0], self.bonded_neighbors[:, 1], self.displacement_soa
+            )
+        vals = (
             _exc_vol_f3(geom._vnorm_tile(g.dr_base), p.eps_exc, p.dr_star_base, p.sigma_base, p.b_base, p.dr_c_base)
             + _exc_vol_f3(
                 geom._vnorm_tile(g.dr_back_base), p.eps_exc, p.dr_star_back_base,
@@ -250,7 +257,10 @@ class BondedExcludedVolume(BaseEnergyFunction):
                 geom._vnorm_tile(g.dr_base_back), p.eps_exc, p.dr_star_base_back,
                 p.sigma_base_back, p.b_base_back, p.dr_c_base_back,
             )
-        ).sum()
+        )
+        if self.bonded_next_mask is not None:
+            return jnp.where(self.bonded_next_mask, vals, 0.0).sum()
+        return vals.sum()
 
 
 @chex.dataclass(frozen=True)
@@ -589,9 +599,19 @@ class Stacking(BaseEnergyFunction):
     def compute_energy(self, nucleotide: BaseNucleotide) -> Scalar:
         return self.pairwise_energies(nucleotide, self.seq, self.bonded_neighbors).sum()
 
+    def _seq_pair_weights_shift(self, seq) -> Arr:
+        """(N,) eps_stack weights for (i, i+1) pairs via static one-hots."""
+        oh = jax.nn.one_hot(seq, 4, dtype=self.params.eps_stack.dtype)
+        oh_next = jnp.roll(oh, -1, axis=0)
+        return jnp.sum((oh @ self.params.eps_stack) * oh_next, axis=-1)
+
     def energy_soa(self, nuc, seq) -> Scalar:
         if self.params.pseq:
             raise NotImplementedError(ERR_PSEQ_PAIR_LIST)
+        if self.bonded_next_mask is not None:
+            g = geom.bonded_geometry_shift_soa(nuc, self.displacement_soa)
+            vals = self._seq_pair_weights_shift(seq) * self.stack_product(g)
+            return jnp.where(self.bonded_next_mask, vals, 0.0).sum()
         nn_i, nn_j = self.bonded_neighbors[:, 0], self.bonded_neighbors[:, 1]
         g = geom.bonded_geometry_soa(nuc, nn_i, nn_j, self.displacement_soa)
         weights = self.params.eps_stack[seq[nn_i], seq[nn_j]]

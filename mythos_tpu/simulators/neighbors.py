@@ -184,6 +184,10 @@ class BlockNeighborList:
     r_cutoff: float
     dr_threshold: float
     n: int
+    #: list every pair from both sides (b < a too). The Pallas fused-force
+    #: kernels need this: row-side-only gradients over a symmetric table
+    #: equal the full per-row force (ops/oxdna_tiles.py).
+    symmetric: bool = False
     block_ids_: Arr | None = None
     did_overflow: Arr | None = None
 
@@ -220,7 +224,9 @@ class BlockNeighborList:
 
         cut = self.r_cutoff + self.dr_threshold
         col = jnp.arange(nb, dtype=jnp.int32)
-        hit = (dist2 < cut * cut) & (col[None, :] >= col[:, None])  # b >= a only
+        hit = dist2 < cut * cut
+        if not self.symmetric:
+            hit = hit & (col[None, :] >= col[:, None])  # b >= a only
 
         # top-k compaction (cheaper than a full row argsort): score hits by
         # descending column order so top_k returns the hit columns themselves
@@ -264,6 +270,7 @@ def block_neighbor_list_for_topology(
     capacity: int | None = None,
     capacity_multiplier: float = 1.5,
     init_centers: Arr | None = None,
+    symmetric: bool = False,
 ) -> BlockNeighborList:
     """Build a BlockNeighborList sized from initial positions."""
     n = topology.n_nucleotides
@@ -274,6 +281,7 @@ def block_neighbor_list_for_topology(
         r_cutoff=r_cutoff,
         dr_threshold=dr_threshold,
         n=n,
+        symmetric=symmetric,
     )
     if capacity is None:
         if init_centers is None:

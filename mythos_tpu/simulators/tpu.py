@@ -216,7 +216,15 @@ def build_run_fn(
         elif block_nbrs:
             # block-sparse tile path: the table rides the generic
             # unbonded_neighbors plumbing but binds as block_ids
-            if use_soa:
+            if use_soa and neighbors.symmetric:
+                # symmetric table -> fused Pallas kernels (ops/oxdna_tiles)
+                from mythos_tpu.ops import oxdna_tiles
+
+                def _energy_fn(body, unbonded_neighbors: Arr) -> Scalar:
+                    return oxdna_tiles.fused_energy_soa(
+                        updated_energy_fn, body, unbonded_neighbors, neighbors.block_size
+                    )
+            elif use_soa:
 
                 def _energy_fn(body, unbonded_neighbors: Arr) -> Scalar:
                     return updated_energy_fn.with_props(

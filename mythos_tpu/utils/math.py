@@ -66,3 +66,23 @@ def safe_arccos(x: ARR_OR_SCALAR) -> ARR_OR_SCALAR:
 def mult(a: Arr, b: Arr) -> Arr:
     """Row-wise dot product of two (N, 3) arrays -> (N,)."""
     return jnp.sum(a * b, axis=-1)
+
+
+def arccos_poly(x: ARR_OR_SCALAR) -> ARR_OR_SCALAR:
+    """Polynomial arccos for Pallas TPU kernels (Mosaic has no acos prim).
+
+    Abramowitz & Stegun 4.4.45: arccos(x) = sqrt(1-x) * P7(x) on [0, 1],
+    |abs error| <= 2e-8 (below f32 resolution of arccos near pi/2), extended
+    by arccos(-x) = pi - arccos(x). Clamped like :func:`safe_arccos` so the
+    gradient stays finite at |x| = 1; autodiff of the polynomial
+    approximates arccos' to the same order.
+    """
+    eps = 8 * jnp.finfo(jnp.result_type(x, jnp.float32)).eps
+    xc = clamp(x, -1.0 + eps, 1.0 - eps)
+    a = jnp.abs(xc)
+    p = -0.0012624911
+    for c in (0.0066700901, -0.0170881256, 0.0308918810, -0.0501743046,
+              0.0889789874, -0.2145988016, 1.5707963050):
+        p = p * a + c
+    r = jnp.sqrt(1.0 - a) * p
+    return jnp.where(xc < 0, jnp.pi - r, r)

@@ -1,0 +1,113 @@
+"""Fused Pallas oxDNA tile kernels vs the XLA block path (interpret mode).
+
+The kernels compute in float32; tolerances reflect the f32 boundary. The
+XLA reference itself is pinned to oxDNA golden data (test_dna2_golden.py),
+so agreement here chains to the golden energies.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mythos_tpu.energy.dna2 as dna2
+from __graft_entry__ import _tiny_duplex
+from mythos_tpu import spaces, soa
+from mythos_tpu.ops import oxdna_tiles
+from mythos_tpu.simulators.neighbors import block_neighbor_list_for_topology
+
+B = 16
+
+
+@pytest.fixture(scope="module")
+def system():
+    topology, body = _tiny_duplex(40)
+    e0 = dna2.create_default_energy_fn(topology, block_unbonded=True, block_size=B)
+    cutoff = dna2.default_neighbor_cutoff()
+    kw = dict(dr_threshold=0.5, block_size=B, init_centers=body.center)
+    nbl_tri = block_neighbor_list_for_topology(spaces.free()[0], topology, cutoff, **kw)
+    nbl_sym = block_neighbor_list_for_topology(
+        spaces.free()[0], topology, cutoff, symmetric=True, **kw
+    )
+    e = e0.with_props(block_ids=nbl_tri.idx)
+    return topology, body, e0, e, nbl_tri, nbl_sym
+
+
+def test_fused_energy_matches_xla(system):
+    _, body, _, e, _, nbl_sym = system
+    bsoa = soa.to_soa(body)
+    e_ref = float(jnp.sum(e.compute_terms_soa(bsoa)))
+    e_fused = float(oxdna_tiles.fused_energy_soa(e, bsoa, nbl_sym.idx, B))
+    np.testing.assert_allclose(e_fused, e_ref, rtol=3e-5)
+
+
+def test_fused_body_grads_match_xla(system):
+    _, body, _, e, _, nbl_sym = system
+    bsoa = soa.to_soa(body)
+    g_f = jax.grad(lambda b: oxdna_tiles.fused_energy_soa(e, b, nbl_sym.idx, B))(bsoa)
+    g_r = jax.grad(lambda b: e.energy_soa(b))(bsoa)
+    np.testing.assert_allclose(
+        np.asarray(jnp.stack(tuple(g_f.center), -1)),
+        np.asarray(jnp.stack(tuple(g_r.center), -1)),
+        rtol=3e-4,
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.stack(tuple(g_f.orientation), -1)),
+        np.asarray(jnp.stack(tuple(g_r.orientation), -1)),
+        rtol=3e-4,
+        atol=1e-4,
+    )
+
+
+def test_fused_param_grads_match_xla(system):
+    _, body, e0, _, nbl_tri, nbl_sym = system
+    # compare both paths at f32 inputs: the kernel computes in f32, and an
+    # f64 reference makes near-cancelling gradients (theta0_cross_4-type)
+    # look like mismatches when they are f32 rounding noise
+    bsoa = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), soa.to_soa(body))
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), e0.opt_params())
+
+    def loss_fused(p):
+        ee = e0.with_params(p).with_props(block_ids=nbl_tri.idx)
+        return oxdna_tiles.fused_energy_soa(ee, bsoa, nbl_sym.idx, B)
+
+    def loss_ref(p):
+        return e0.with_params(p).with_props(block_ids=nbl_tri.idx).energy_soa(bsoa)
+
+    gp_f = jax.grad(loss_fused)(params)
+    gp_r = jax.grad(loss_ref)(params)
+    for k in gp_r:
+        a, b = float(gp_f[k]), float(gp_r[k])
+        assert abs(a - b) <= 3e-3 * max(1.0, abs(b)) + 1e-5, (k, a, b)
+
+
+def test_fused_simulation_runs(system):
+    topology, body, e0, _, _, nbl_sym = system
+    from mythos_tpu.rigid_body import RigidBody
+    from mythos_tpu.simulators import StaticSimulatorParams, TpuSimulator
+
+    kT = 296.15 * 0.1 / 300.0
+    sp = StaticSimulatorParams(
+        seq=jnp.asarray(topology.seq),
+        mass=RigidBody(center=jnp.array([1.0]), orientation=jnp.array([[1.0, 1.0, 1.0]])),
+        gamma=RigidBody(center=jnp.array([kT / 2.5]), orientation=jnp.array([kT / 7.5])),
+        bonded_neighbors=jnp.asarray(topology.bonded_neighbors),
+        checkpoint_every=0,
+        dt=5e-3,
+        kT=kT,
+    )
+    sim = TpuSimulator(
+        energy_fn=e0,
+        simulator_params=sp,
+        space=spaces.free(),
+        neighbors=nbl_sym,
+        save_every=10,
+        neighbor_update_every=5,
+    )
+    traj = jax.jit(lambda p: sim.run(p, body, 20, jax.random.PRNGKey(0)).observables[0])(
+        e0.opt_params()
+    )
+    assert bool(jnp.all(jnp.isfinite(traj.center)))
+    qn = jnp.abs(jnp.linalg.norm(traj.orientation, axis=-1) - 1.0).max()
+    assert float(qn) < 1e-6
