@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 N_BP = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
 N_STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+BLOCK = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
 TARGET_NT_STEPS_PER_MIN = 1e6 * 10_000  # 10k-nt at 1e6 steps/min
 
@@ -31,7 +32,9 @@ def main() -> None:
     topology, body = _tiny_duplex(N_BP)
     # oxDNA2 on the SoA block-sparse tile path: the flagship configuration
     # the north-star metric (BASELINE.json) is defined against
-    _, sim = _build_sim(topology, kT, mode="block", init_centers=body.center, model="dna2")
+    _, sim = _build_sim(
+        topology, kT, mode="block", init_centers=body.center, model="dna2", block_size=BLOCK
+    )
     # thin trajectory emission so the benchmark measures stepping, not HBM
     # writes; keep it a multiple of neighbor_update_every
     save = max(sim.neighbor_update_every, N_STEPS // 100)

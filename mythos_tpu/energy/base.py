@@ -279,6 +279,11 @@ class ComposedEnergyFunction(EnergyFunction):
     energy_fns: list[BaseEnergyFunction]
     weights: Arr | None = None
     strict_params: bool = True
+    #: optional symmetric BlockNeighborList enabling the fused Pallas
+    #: trajectory-energy path in :meth:`map` (the DiffTRe hot loop):
+    #: per state, rebuild the block table and evaluate all terms through
+    #: ops/oxdna_tiles. None -> the reference lax.map over __call__.
+    map_neighbors: Any | None = None
 
     def __post_init__(self) -> None:
         if not isinstance(self.energy_fns, list) or not all(
@@ -461,6 +466,31 @@ class ComposedEnergyFunction(EnergyFunction):
         """Total SoA energy (weighted like __call__)."""
         vals = self.compute_terms_soa(body_soa)
         return jnp.sum(vals) if self.weights is None else jnp.dot(self.weights, vals)
+
+    def map(self, body_sequence: RigidBody) -> Arr:
+        """Map the energy over a stacked (S, ...) body sequence.
+
+        With ``map_neighbors`` set (a symmetric BlockNeighborList), each
+        state rebuilds its block table and evaluates through the fused
+        Pallas kernels -- the DiffTRe re-evaluation at scale. Parameter
+        gradients flow through the kernels' parameter-VJP exactly.
+        """
+        if self.map_neighbors is None:
+            # explicit base call: chex rebuilds the class, breaking
+            # zero-arg super()'s __class__ cell
+            return EnergyFunction.map(self, body_sequence)
+        from mythos_tpu import soa as soa_mod
+        from mythos_tpu.ops import oxdna_tiles
+
+        nbl = self.map_neighbors
+
+        def one(body: RigidBody) -> Scalar:
+            bsoa = soa_mod.to_soa(body) if isinstance(body, RigidBody) else body
+            ids, _ = nbl.build(bsoa.center)
+            return oxdna_tiles.fused_energy_soa(self, bsoa, ids, nbl.block_size)
+
+        inner = jax.checkpoint(one) if self.map_checkpoint else one
+        return jax.lax.map(inner, body_sequence)
 
     def without_terms(self, *terms: str | type) -> "ComposedEnergyFunction":
         """Drop terms by class or class name."""

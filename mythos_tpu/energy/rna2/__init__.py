@@ -46,6 +46,31 @@ def default_transform_fn() -> callable:
     )
 
 
+def default_transform_soa_fn() -> callable:
+    """BodySoA -> rna2 NucleotideSoA (component-array hot path)."""
+    from mythos_tpu.energy.rna2.nucleotide import NucleotideSoA
+
+    _, config = default_configs()
+    g = config["geometry"]
+    return functools.partial(
+        NucleotideSoA.from_body_soa,
+        com_to_backbone_x=g["pos_back_a1"],
+        com_to_backbone_y=g["pos_back_a3"],
+        com_to_stacking=g["pos_stack"],
+        com_to_hb=g["pos_base"],
+        p3_x=g["p3_x"],
+        p3_y=g["p3_y"],
+        p3_z=g["p3_z"],
+        p5_x=g["p5_x"],
+        p5_y=g["p5_y"],
+        p5_z=g["p5_z"],
+        pos_stack_3_a1=g["pos_stack_3_a1"],
+        pos_stack_3_a2=g["pos_stack_3_a2"],
+        pos_stack_5_a1=g["pos_stack_5_a1"],
+        pos_stack_5_a2=g["pos_stack_5_a2"],
+    )
+
+
 __all__ = [
     "CrossStacking",
     "CrossStackingConfiguration",
@@ -54,4 +79,5 @@ __all__ = [
     "StackingConfiguration",
     "default_configs",
     "default_transform_fn",
+    "default_transform_soa_fn",
 ]

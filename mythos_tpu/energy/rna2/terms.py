@@ -234,6 +234,72 @@ class Stacking(BaseEnergyFunction):
     def compute_energy(self, nucleotide: Nucleotide) -> Scalar:
         return self.pairwise_energies(nucleotide, self.seq, self.bonded_neighbors).sum()
 
+    def _v_stack_soa(self, nuc, nuc_j) -> Arr:
+        """Sequence-independent product on SoA fields (i rows, j partner)."""
+        from mythos_tpu.soa import vdot
+        from mythos_tpu.utils.math import safe_arccos
+
+        p = self.params
+        d = self.displacement_soa
+        dr_stack = d(nuc.stack5, nuc_j.stack3)
+        r_stack = jnp.sqrt(vdot(dr_stack, dr_stack) + 1e-18)
+        inv_rs = 1.0 / r_stack
+        theta5 = jnp.pi - safe_arccos(vdot(nuc_j.a3, dr_stack) * inv_rs)
+        theta6 = jnp.pi - safe_arccos(vdot(nuc.a3, dr_stack) * inv_rs)
+
+        dr_back = d(nuc.back, nuc_j.back)
+        r_back = jnp.sqrt(vdot(dr_back, dr_back) + 1e-18)
+        inv_rb = 1.0 / r_back
+        theta9 = safe_arccos(-vdot(nuc_j.bb_p3, dr_back) * inv_rb)
+        theta10 = safe_arccos(-vdot(nuc.bb_p5, dr_back) * inv_rb)
+        cosphi1 = -vdot(nuc.a2, dr_back) * inv_rb
+        cosphi2 = -vdot(nuc_j.a2, dr_back) * inv_rb
+
+        return (
+            bf.f1(
+                r_stack,
+                r_low=p.dr_low_stack,
+                r_high=p.dr_high_stack,
+                r_c_low=p.dr_c_low_stack,
+                r_c_high=p.dr_c_high_stack,
+                eps=1.0,
+                a=p.a_stack,
+                r0=p.dr0_stack,
+                r_c=p.dr_c_stack,
+                b_low=p.b_low_stack,
+                b_high=p.b_high_stack,
+            )
+            * self._f4(5, theta5)
+            * self._f4(6, theta6)
+            * self._f4(9, theta9)
+            * self._f4(10, theta10)
+            * bf.f5(-cosphi1, p.neg_cos_phi1_star_stack, p.neg_cos_phi1_c_stack, p.a_stack_1, p.b_neg_cos_phi1_stack)
+            * bf.f5(-cosphi2, p.neg_cos_phi2_star_stack, p.neg_cos_phi2_c_stack, p.a_stack_2, p.b_neg_cos_phi2_stack)
+        )
+
+    def energy_soa(self, nuc, seq) -> Scalar:
+        if self.params.pseq:
+            raise NotImplementedError("probabilistic sequences use the pair-list path")
+        if self.bonded_next_mask is not None:
+            import jax
+
+            from mythos_tpu.energy.dna1.geometry import _roll_vec3
+
+            nuc_j = nuc._replace(
+                **{f: _roll_vec3(getattr(nuc, f)) for f in nuc._fields}
+            )
+            oh = jax.nn.one_hot(seq, 4, dtype=self.params.eps_stack.dtype)
+            weights = jnp.sum((oh @ self.params.eps_stack) * jnp.roll(oh, -1, axis=0), axis=-1)
+            vals = weights * self._v_stack_soa(nuc, nuc_j)
+            return jnp.where(self.bonded_next_mask, vals, 0.0).sum()
+        from mythos_tpu.energy.dna1.geometry import _gather_vec3
+
+        nn_i, nn_j = self.bonded_neighbors[:, 0], self.bonded_neighbors[:, 1]
+        nuc_i = nuc._replace(**{f: _gather_vec3(getattr(nuc, f), nn_i) for f in nuc._fields})
+        nuc_jj = nuc._replace(**{f: _gather_vec3(getattr(nuc, f), nn_j) for f in nuc._fields})
+        weights = self.params.eps_stack[seq[nn_i], seq[nn_j]]
+        return (weights * self._v_stack_soa(nuc_i, nuc_jj)).sum()
+
 
 @chex.dataclass(frozen=True)
 class CrossStackingConfiguration(BaseConfiguration):
@@ -352,12 +418,8 @@ class CrossStacking(BaseEnergyFunction):
             getattr(p, f"b_cross_{k}"),
         )
 
-    def pairwise_energies(self, nuc_i: Nucleotide, nuc_j: Nucleotide, unbonded_neighbors: Arr) -> Arr:
-        op_i, op_j = unbonded_neighbors[0], unbonded_neighbors[1]
-        n = nuc_i.center.shape[0]
+    def _cross_value(self, g: geom.UnbondedGeometry) -> Arr:
         p = self.params
-        g = geom.unbonded_geometry(nuc_i, nuc_j, op_i, op_j, self.displacement_fn)
-
         f2_r = bf.f2(
             jnp.maximum(g.r_base, 1e-8),
             r_low=p.dr_low_cross,
@@ -370,7 +432,7 @@ class CrossStacking(BaseEnergyFunction):
             b_low=p.b_low_cross,
             b_high=p.b_high_cross,
         )
-        val = (
+        return (
             f2_r
             * self._f4(1, g.theta1)
             * self._f4(2, g.theta2)
@@ -378,7 +440,44 @@ class CrossStacking(BaseEnergyFunction):
             * (self._f4(7, g.theta7) + self._f4(7, jnp.pi - g.theta7))
             * (self._f4(8, g.theta8) + self._f4(8, jnp.pi - g.theta8))
         )
-        return jnp.where(op_i < n, val, 0.0)
+
+    def pairwise_energies(self, nuc_i: Nucleotide, nuc_j: Nucleotide, unbonded_neighbors: Arr) -> Arr:
+        op_i, op_j = unbonded_neighbors[0], unbonded_neighbors[1]
+        n = nuc_i.center.shape[0]
+        g = geom.unbonded_geometry(nuc_i, nuc_j, op_i, op_j, self.displacement_fn)
+        return jnp.where(op_i < n, self._cross_value(g), 0.0)
+
+    def pair_cutoff(self) -> float:
+        return float(self.params.dr_c_high_cross)
+
+    def dense_energies(self, nuc_i: Nucleotide, nuc_j: Nucleotide) -> Arr:
+        """(Ni, Nj) energies via broadcasts; works on full arrays or tiles."""
+        g = geom.unbonded_geometry_dense(nuc_i, nuc_j, self.displacement_fn)
+        return self._cross_value(g)
+
+    def tile_energy_fn(self):
+        return lambda ri, rj: self.dense_energies(ri[0], rj[0])
+
+    def tile_energy_soa_fn(self):
+        def tile(ri, rj):
+            g = geom.unbonded_geometry_tile_soa(ri[0], rj[0], self.displacement_soa)
+            return self._cross_value(g)
+
+        return tile
 
     def compute_energy(self, nucleotide: Nucleotide) -> Scalar:
+        if self.block_ids is not None:
+            from mythos_tpu.energy import blocks
+
+            return blocks.block_pair_sum(
+                self.tile_energy_fn(),
+                (nucleotide, jnp.asarray(self.seq)),
+                self.block_ids,
+                self.block_size,
+                nucleotide.center.shape[0],
+                self.bonded_neighbors,
+            )
+        if self.dense_mask is not None:
+            g = geom.unbonded_geometry_dense(nucleotide, nucleotide, self.displacement_fn)
+            return jnp.where(self.dense_mask, self._cross_value(g), 0.0).sum()
         return self.pairwise_energies(nucleotide, nucleotide, self.unbonded_neighbors).sum()

@@ -300,29 +300,31 @@ def _bwd_rows_kernel(rows_ref, cols_ref, jg_ref, p_ref, gt_ref, grows_ref, *, sp
     grows_ref[...] = g_rows[:, :N_GRAD_FIELDS]
 
 
-def _bwd_params_kernel(rows_ref, cols_ref, jg_ref, p_ref, gt_ref, gp_ref, *, spec: TileSpec):
-    a = pl.program_id(0)
-    rows = rows_ref[...]
-    cols = cols_ref[0]
-    jg = jg_ref[0]
-    gt = gt_ref[0, : _n_terms(spec)]
+def _params_grad_xla(rows_rf, params_vec, cols, jg, gt, spec: TileSpec):
+    """dE/d(params vector) via XLA autodiff over the same tiles.
 
-    def total_params(p_vec):
-        # triangular mask: each unordered pair once -> exact dE/dparams
+    The in-kernel parameter VJP transposes ~170 scalar reads into scalar
+    accumulations, which Mosaic serializes pathologically (measured ~80x
+    slower than this path). Parameter gradients don't need the kernel's
+    fusion win -- they are an O(P) reduction the XLA tile evaluation
+    handles fine. Triangular mask: each unordered pair exactly once (a
+    symmetric sum would mix theta2/theta3-type asymmetric pairs).
+    """
+    nb, b_sz = spec.n_blocks, spec.block_size
+    rows_b = rows_rf.reshape(nb, b_sz, N_FIELDS)
+
+    def total(p_vec):
         params = _unpack_params(p_vec, spec.params_treedef, spec.leaf_shapes)
-        mask = _tile_mask(rows, jg, spec, a, triangular=True)
-        energies = _tile_energies(rows, cols, params, spec)
-        return sum(
-            gt[t] * jnp.where(mask, e, 0.0).sum() for t, e in enumerate(energies)
-        )
 
-    g_p = jax.grad(total_params)(p_ref[...])
+        def blk(rows_blk, cols_blk, jg_blk, a):
+            mask = _tile_mask(rows_blk, jg_blk, spec, a, triangular=True)
+            energies = _tile_energies(rows_blk, cols_blk, params, spec)
+            return jnp.stack([jnp.where(mask, e, 0.0).sum() for e in energies])
 
-    @pl.when(a == 0)
-    def _():
-        gp_ref[...] = jnp.zeros_like(gp_ref)
+        sums = jax.vmap(blk)(rows_b, cols, jg, jnp.arange(nb))
+        return jnp.dot(gt, jnp.sum(sums, axis=0)[: _n_terms(spec)])
 
-    gp_ref[...] += g_p
+    return jax.grad(total)(params_vec)
 
 
 def _gather_cols(rows_rf: Arr, sym_ids: Arr, spec: TileSpec) -> tuple[Arr, Arr]:
@@ -392,14 +394,7 @@ def _bwd_impl(rows_rf, params_vec, sym_ids, gt, spec: TileSpec):
         out_specs=pl.BlockSpec((b_sz, N_GRAD_FIELDS), lambda a: (a, 0)),
         interpret=_interpret(),
     )(*args)
-    g_p = pl.pallas_call(
-        functools.partial(_bwd_params_kernel, spec=spec),
-        out_shape=jax.ShapeDtypeStruct((1, p), jnp.float32),
-        grid=(nb,),
-        in_specs=common_in,
-        out_specs=pl.BlockSpec((1, p), lambda a: (0, 0)),
-        interpret=_interpret(),
-    )(*args)
+    g_p = _params_grad_xla(rows_rf, params_vec, cols, jg, gt, spec)
     return g_rows, g_p
 
 
@@ -469,6 +464,14 @@ def fused_energy_soa(composed, body_soa, sym_ids, block_size: int):
     seq = jnp.asarray(first.seq)
     n = seq.shape[0]
     nb, cap = sym_ids.shape
+    # Mosaic requires the tile panel minor dim to be a multiple of 128:
+    # pad the slot table with invalid (== nb) columns
+    m = cap * block_size
+    short = (-m) % 128
+    if short:
+        extra = -(-short // block_size)
+        sym_ids = jnp.pad(sym_ids, ((0, 0), (0, extra)), constant_values=nb)
+        cap += extra
     n_pad = nb * block_size
 
     params_vec, (treedef, leaf_shapes) = pack_params([fn.params for fn in terms])

@@ -111,3 +111,35 @@ def test_fused_simulation_runs(system):
     assert bool(jnp.all(jnp.isfinite(traj.center)))
     qn = jnp.abs(jnp.linalg.norm(traj.orientation, axis=-1) - 1.0).max()
     assert float(qn) < 1e-6
+
+
+def test_fused_map_matches_reference(system):
+    """The DiffTRe trajectory-energy path: fused map vs lax.map reference."""
+    topology, body, e0, _, _, nbl_sym = system
+    import mythos_tpu.energy.dna2 as dna2
+
+    e_pair = dna2.create_default_energy_fn(topology)  # pair-list reference
+    key = jax.random.PRNGKey(0)
+    s = 3
+    centers = body.center[None] + 0.01 * jax.random.normal(key, (s, *body.center.shape))
+    quats = jnp.tile(body.orientation[None], (s, 1, 1))
+    from mythos_tpu.rigid_body import RigidBody
+
+    traj = RigidBody(
+        center=centers, orientation=quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
+    )
+    e_ref = e_pair.map(traj)
+    e_fused = e_pair.replace(map_neighbors=nbl_sym).map(traj)
+    np.testing.assert_allclose(np.asarray(e_fused), np.asarray(e_ref), rtol=3e-5)
+
+    # compare at f32 inputs (kernel precision); f64 references make
+    # near-cancelling gradients look like mismatches (see param-grad test)
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), e_pair.opt_params())
+    traj32 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), traj)
+    g1 = jax.grad(
+        lambda p: jnp.sum(e_pair.with_params(p).replace(map_neighbors=nbl_sym).map(traj32))
+    )(params)
+    g2 = jax.grad(lambda p: jnp.sum(e_pair.with_params(p).map(traj32)))(params)
+    for k in g2:
+        a, b = float(g1[k]), float(g2[k])
+        assert abs(a - b) <= 3e-3 * max(1.0, abs(b)) + 1e-4, (k, a, b)
