@@ -129,12 +129,16 @@ class Fene(BaseEnergyFunction):
     def compute_energy(self, nucleotide: BaseNucleotide) -> Scalar:
         return self.pairwise_energies(nucleotide, self.bonded_neighbors).sum()
 
+    def rowwise_soa(self, nuc, seq) -> Arr:
+        """(N,) shift-path values; valid where bonded_next_mask."""
+        p = self.params
+        g = geom.bonded_geometry_shift_soa(nuc, self.displacement_soa)
+        return v_fene_smooth(g.r_back, p.eps_backbone, p.r0_backbone, p.delta_backbone, p.fmax, p.finf)
+
     def energy_soa(self, nuc, seq) -> Scalar:
         p = self.params
         if self.bonded_next_mask is not None:
-            g = geom.bonded_geometry_shift_soa(nuc, self.displacement_soa)
-            vals = v_fene_smooth(g.r_back, p.eps_backbone, p.r0_backbone, p.delta_backbone, p.fmax, p.finf)
-            return jnp.where(self.bonded_next_mask, vals, 0.0).sum()
+            return jnp.where(self.bonded_next_mask, self.rowwise_soa(nuc, seq), 0.0).sum()
         g = geom.bonded_geometry_soa(
             nuc, self.bonded_neighbors[:, 0], self.bonded_neighbors[:, 1], self.displacement_soa
         )
@@ -239,15 +243,9 @@ class BondedExcludedVolume(BaseEnergyFunction):
     def compute_energy(self, nucleotide: BaseNucleotide) -> Scalar:
         return self.pairwise_energies(nucleotide, self.bonded_neighbors).sum()
 
-    def energy_soa(self, nuc, seq) -> Scalar:
+    def _bexc_vals(self, g) -> Arr:
         p = self.params
-        if self.bonded_next_mask is not None:
-            g = geom.bonded_geometry_shift_soa(nuc, self.displacement_soa)
-        else:
-            g = geom.bonded_geometry_soa(
-                nuc, self.bonded_neighbors[:, 0], self.bonded_neighbors[:, 1], self.displacement_soa
-            )
-        vals = (
+        return (
             _exc_vol_f3(geom._vnorm_tile(g.dr_base), p.eps_exc, p.dr_star_base, p.sigma_base, p.b_base, p.dr_c_base)
             + _exc_vol_f3(
                 geom._vnorm_tile(g.dr_back_base), p.eps_exc, p.dr_star_back_base,
@@ -258,9 +256,18 @@ class BondedExcludedVolume(BaseEnergyFunction):
                 p.sigma_base_back, p.b_base_back, p.dr_c_base_back,
             )
         )
+
+    def rowwise_soa(self, nuc, seq) -> Arr:
+        """(N,) shift-path values; valid where bonded_next_mask."""
+        return self._bexc_vals(geom.bonded_geometry_shift_soa(nuc, self.displacement_soa))
+
+    def energy_soa(self, nuc, seq) -> Scalar:
         if self.bonded_next_mask is not None:
-            return jnp.where(self.bonded_next_mask, vals, 0.0).sum()
-        return vals.sum()
+            return jnp.where(self.bonded_next_mask, self.rowwise_soa(nuc, seq), 0.0).sum()
+        g = geom.bonded_geometry_soa(
+            nuc, self.bonded_neighbors[:, 0], self.bonded_neighbors[:, 1], self.displacement_soa
+        )
+        return self._bexc_vals(g).sum()
 
 
 @chex.dataclass(frozen=True)
@@ -605,13 +612,16 @@ class Stacking(BaseEnergyFunction):
         oh_next = jnp.roll(oh, -1, axis=0)
         return jnp.sum((oh @ self.params.eps_stack) * oh_next, axis=-1)
 
+    def rowwise_soa(self, nuc, seq) -> Arr:
+        """(N,) shift-path values; valid where bonded_next_mask."""
+        g = geom.bonded_geometry_shift_soa(nuc, self.displacement_soa)
+        return self._seq_pair_weights_shift(seq) * self.stack_product(g)
+
     def energy_soa(self, nuc, seq) -> Scalar:
         if self.params.pseq:
             raise NotImplementedError(ERR_PSEQ_PAIR_LIST)
         if self.bonded_next_mask is not None:
-            g = geom.bonded_geometry_shift_soa(nuc, self.displacement_soa)
-            vals = self._seq_pair_weights_shift(seq) * self.stack_product(g)
-            return jnp.where(self.bonded_next_mask, vals, 0.0).sum()
+            return jnp.where(self.bonded_next_mask, self.rowwise_soa(nuc, seq), 0.0).sum()
         nn_i, nn_j = self.bonded_neighbors[:, 0], self.bonded_neighbors[:, 1]
         g = geom.bonded_geometry_soa(nuc, nn_i, nn_j, self.displacement_soa)
         weights = self.params.eps_stack[seq[nn_i], seq[nn_j]]

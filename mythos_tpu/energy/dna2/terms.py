@@ -42,13 +42,16 @@ class Stacking(dna1_terms.Stacking):
             weights = self.params.eps_stack[seq[nn_i], seq[nn_j]]
         return weights * v_stack
 
+    def rowwise_soa(self, nuc, seq) -> Arr:
+        """(N,) shift-path values; valid where bonded_next_mask."""
+        g = geom.bonded_geometry_shift_soa(nuc, self.displacement_soa, back=nuc.back_dna1)
+        return self._seq_pair_weights_shift(seq) * self.stack_product(g)
+
     def energy_soa(self, nuc, seq) -> Scalar:
         if self.params.pseq:
             raise NotImplementedError(dna1_terms.ERR_PSEQ_PAIR_LIST)
         if self.bonded_next_mask is not None:
-            g = geom.bonded_geometry_shift_soa(nuc, self.displacement_soa, back=nuc.back_dna1)
-            vals = self._seq_pair_weights_shift(seq) * self.stack_product(g)
-            return jnp.where(self.bonded_next_mask, vals, 0.0).sum()
+            return jnp.where(self.bonded_next_mask, self.rowwise_soa(nuc, seq), 0.0).sum()
         nn_i, nn_j = self.bonded_neighbors[:, 0], self.bonded_neighbors[:, 1]
         g = geom.bonded_geometry_soa(
             nuc, nn_i, nn_j, self.displacement_soa, back=nuc.back_dna1

@@ -175,3 +175,42 @@ __all__ = [
     "is_dna_rna_pair",
     "is_rna_pair",
 ]
+
+
+def default_transform_soa_fn() -> callable:
+    """BodySoA -> HybridNucleotideSoA (component-array hot path)."""
+    from mythos_tpu.energy.na1.nucleotide import HybridNucleotideSoA
+
+    _, dna_energy = dna2.default_configs()
+    _, rna_energy = rna2.default_configs()
+    dg = dna_energy["geometry"]
+    rg = rna_energy["geometry"]
+    dna_kwargs = dict(
+        com_to_backbone_x=dg["com_to_backbone_x"],
+        com_to_backbone_y=dg["com_to_backbone_y"],
+        com_to_backbone_dna1=dg["com_to_backbone_dna1"],
+        com_to_hb=dg["com_to_hb"],
+        com_to_stacking=dg["com_to_stacking"],
+    )
+    rna_kwargs = dict(
+        com_to_backbone_x=rg["pos_back_a1"],
+        com_to_backbone_y=rg["pos_back_a3"],
+        com_to_stacking=rg["pos_stack"],
+        com_to_hb=rg["pos_base"],
+        p3_x=rg["p3_x"],
+        p3_y=rg["p3_y"],
+        p3_z=rg["p3_z"],
+        p5_x=rg["p5_x"],
+        p5_y=rg["p5_y"],
+        p5_z=rg["p5_z"],
+        pos_stack_3_a1=rg["pos_stack_3_a1"],
+        pos_stack_3_a2=rg["pos_stack_3_a2"],
+        pos_stack_5_a1=rg["pos_stack_5_a1"],
+        pos_stack_5_a2=rg["pos_stack_5_a2"],
+    )
+    return functools.partial(
+        HybridNucleotideSoA.from_body_soa, dna_kwargs=dna_kwargs, rna_kwargs=rna_kwargs
+    )
+
+
+__all__.append("default_transform_soa_fn")

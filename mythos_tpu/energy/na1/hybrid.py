@@ -172,6 +172,22 @@ def make_hybrid_term(
             rna_dgs = _pairwise(self, "rna", _sub_term(self, "rna"), nucleotide.rna, nucleotide.rna)
             return jnp.where(rna_sel, rna_dgs, dna_dgs).sum()
 
+        def energy_soa(self, nucleotide, seq) -> Scalar:
+            # shift path only: per-row values from both sub-models, 2-way
+            # select by (i, i+1) nucleotide types
+            if self.bonded_next_mask is None:
+                raise NotImplementedError(
+                    "hybrid SoA bonded terms require consecutive bonded pairs"
+                )
+            nt_type = jnp.asarray(self.params.nt_type)
+            rna_sel = (nt_type == NucleotideType.RNA) & (
+                jnp.roll(nt_type, -1) == NucleotideType.RNA
+            )
+            dna_vals = _sub_term(self, "dna").rowwise_soa(nucleotide.dna, seq)
+            rna_vals = _sub_term(self, "rna").rowwise_soa(nucleotide.rna, seq)
+            vals = jnp.where(rna_sel, rna_vals, dna_vals)
+            return jnp.where(self.bonded_next_mask, vals, 0.0).sum()
+
     else:
 
         def compute_energy(self, nucleotide) -> Scalar:
@@ -199,9 +215,69 @@ def make_hybrid_term(
             )
             return jnp.where(op_i < n, dgs, 0.0).sum()
 
+        def energy_soa(self, nucleotide, seq) -> Scalar:
+            raise NotImplementedError(
+                "hybrid unbonded terms run through the block tile path"
+            )
+
+    def pair_cutoff(self):
+        if pairs == "bonded":
+            return None
+        vals = [
+            c for prefix in subspecs if (c := _sub_term(self, prefix).pair_cutoff()) is not None
+        ]
+        return max(vals) if vals else None
+
+    def tile_row_fields(self):
+        if pairs == "bonded":
+            return {}
+        fields = {"nt_type": jnp.asarray(self.params.nt_type)}
+        for f in term_fields:
+            fields[f] = jnp.asarray(getattr(self, f))
+        return fields
+
+    def _tile_select(self, sub_tiles, ri, rj):
+        """4-way nucleotide-type select over sub-model tile evaluations."""
+        nuc_i, seq_i, aux_i = ri[0], ri[1], ri[2]
+        nuc_j, seq_j, aux_j = rj[0], rj[1], rj[2]
+        nt_i, nt_j = aux_i["nt_type"], aux_j["nt_type"]
+        rna_i = (nt_i == NucleotideType.RNA)[:, None]
+        rna_j = (nt_j == NucleotideType.RNA)[None, :]
+        dna = sub_tiles["dna"]((nuc_i.dna, seq_i, aux_i), (nuc_j.dna, seq_j, aux_j))
+        rna = sub_tiles["rna"]((nuc_i.rna, seq_i, aux_i), (nuc_j.rna, seq_j, aux_j))
+        drh = sub_tiles["drh"]((nuc_i.dna, seq_i, aux_i), (nuc_j.rna, seq_j, aux_j))
+        rdh = sub_tiles["drh"]((nuc_i.rna, seq_i, aux_i), (nuc_j.dna, seq_j, aux_j))
+        return jnp.where(
+            rna_i & rna_j,
+            rna,
+            jnp.where(~rna_i & rna_j, drh, jnp.where(rna_i & ~rna_j, rdh, dna)),
+        )
+
+    def tile_energy_fn(self):
+        if pairs == "bonded":
+            return None
+        subs = {prefix: _sub_term(self, prefix).tile_energy_fn() for prefix in subspecs}
+        if any(t is None for t in subs.values()):
+            return None
+        return lambda ri, rj: _tile_select(self, subs, ri, rj)
+
+    def tile_energy_soa_fn(self):
+        if pairs == "bonded":
+            return None
+        subs = {prefix: _sub_term(self, prefix).tile_energy_soa_fn() for prefix in subspecs}
+        if any(t is None for t in subs.values()):
+            return None
+        return lambda ri, rj: _tile_select(self, subs, ri, rj)
+
     annotations = {"params": cfg_cls}
     namespace: dict[str, Any] = {
         "compute_energy": compute_energy,
+        "energy_soa": energy_soa,
+        "pair_cutoff": pair_cutoff,
+        "tile_row_fields": tile_row_fields,
+        "_tile_select": _tile_select,
+        "tile_energy_fn": tile_energy_fn,
+        "tile_energy_soa_fn": tile_energy_soa_fn,
         "__doc__": f"Hybrid oxNA {name} (generic 2/4-way nucleotide-type select).",
         "__annotations__": annotations,
         "params": None,

@@ -75,3 +75,24 @@ class HybridNucleotide:
                 rna_pos_stack_5_a2,
             ),
         )
+
+
+from typing import NamedTuple  # noqa: E402
+
+from mythos_tpu.energy.dna2.nucleotide import NucleotideSoA as Dna2NucleotideSoA  # noqa: E402
+from mythos_tpu.energy.rna2.nucleotide import NucleotideSoA as Rna2NucleotideSoA  # noqa: E402
+from mythos_tpu.soa import BodySoA  # noqa: E402
+
+
+class HybridNucleotideSoA(NamedTuple):
+    """SoA hybrid nucleotide: dna2 + rna2 site systems (component arrays)."""
+
+    dna: Dna2NucleotideSoA
+    rna: Rna2NucleotideSoA
+
+    @staticmethod
+    def from_body_soa(body: BodySoA, dna_kwargs: dict, rna_kwargs: dict) -> "HybridNucleotideSoA":
+        return HybridNucleotideSoA(
+            dna=Dna2NucleotideSoA.from_body_soa(body, **dna_kwargs),
+            rna=Rna2NucleotideSoA.from_body_soa(body, **rna_kwargs),
+        )

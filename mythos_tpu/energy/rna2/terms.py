@@ -277,21 +277,22 @@ class Stacking(BaseEnergyFunction):
             * bf.f5(-cosphi2, p.neg_cos_phi2_star_stack, p.neg_cos_phi2_c_stack, p.a_stack_2, p.b_neg_cos_phi2_stack)
         )
 
+    def rowwise_soa(self, nuc, seq) -> Arr:
+        """(N,) shift-path values; valid where bonded_next_mask."""
+        import jax
+
+        from mythos_tpu.energy.dna1.geometry import _roll_vec3
+
+        nuc_j = nuc._replace(**{f: _roll_vec3(getattr(nuc, f)) for f in nuc._fields})
+        oh = jax.nn.one_hot(seq, 4, dtype=self.params.eps_stack.dtype)
+        weights = jnp.sum((oh @ self.params.eps_stack) * jnp.roll(oh, -1, axis=0), axis=-1)
+        return weights * self._v_stack_soa(nuc, nuc_j)
+
     def energy_soa(self, nuc, seq) -> Scalar:
         if self.params.pseq:
             raise NotImplementedError("probabilistic sequences use the pair-list path")
         if self.bonded_next_mask is not None:
-            import jax
-
-            from mythos_tpu.energy.dna1.geometry import _roll_vec3
-
-            nuc_j = nuc._replace(
-                **{f: _roll_vec3(getattr(nuc, f)) for f in nuc._fields}
-            )
-            oh = jax.nn.one_hot(seq, 4, dtype=self.params.eps_stack.dtype)
-            weights = jnp.sum((oh @ self.params.eps_stack) * jnp.roll(oh, -1, axis=0), axis=-1)
-            vals = weights * self._v_stack_soa(nuc, nuc_j)
-            return jnp.where(self.bonded_next_mask, vals, 0.0).sum()
+            return jnp.where(self.bonded_next_mask, self.rowwise_soa(nuc, seq), 0.0).sum()
         from mythos_tpu.energy.dna1.geometry import _gather_vec3
 
         nn_i, nn_j = self.bonded_neighbors[:, 0], self.bonded_neighbors[:, 1]
