@@ -303,7 +303,8 @@ def build_run_fn(
                     state, pos = inner_steps_emit(state, idx, u)
                     return (state, overflow | ovf), pos
 
-                _, trajectory = scan_fn(apply_fn, carry0, None, length=n_steps // u)
+                final, trajectory = scan_fn(apply_fn, carry0, None, length=n_steps // u)
+                overflow = final[1]
                 trajectory = flatten_n(trajectory, 2)
                 n_states = n_steps
             else:
@@ -320,7 +321,8 @@ def build_run_fn(
                     carry, _ = jax.lax.scan(rebuild_chunk, carry, None, length=save_every // u)
                     return carry, carry[0].position
 
-                _, trajectory = scan_fn(apply_fn, carry0, None, length=n_steps // save_every)
+                final, trajectory = scan_fn(apply_fn, carry0, None, length=n_steps // save_every)
+                overflow = final[1]
                 n_states = n_steps // save_every
 
         if use_soa:
@@ -329,6 +331,10 @@ def build_run_fn(
             trajectory,
             temperature=jnp.full(n_states, simulator_params.kT),
         )
+        if not static_nbrs:
+            # surface capacity overflow: dropped pairs silently corrupt the
+            # physics, so callers/tests must be able to assert on this flag
+            traj = traj.with_state_metadata(neighbor_overflow=overflow)
         return sim_base.SimulatorOutput(observables=[traj])
 
     return run_fn
