@@ -274,6 +274,20 @@ def block_neighbor_list_for_topology(
 ) -> BlockNeighborList:
     """Build a BlockNeighborList sized from initial positions."""
     n = topology.n_nucleotides
+    # the block tile masks exclude bonded pairs via 3'/5' partner rows
+    # (energy/blocks.bonded_partner_table), which encodes at most two bonds
+    # per particle -- enough for any linear/circular nucleic topology.
+    # Branched topologies (e.g. MARTINI lipids) would silently lose
+    # exclusions, so refuse them here.
+    bn = np.asarray(topology.bonded_neighbors)
+    if bn.size:
+        counts = np.bincount(bn.ravel(), minlength=n)
+        if counts.max() > 2:
+            raise ValueError(
+                "block neighbor lists support at most 2 bonded partners per "
+                f"particle (got {int(counts.max())}); branched topologies need "
+                "the pair-list path"
+            )
     nbl = BlockNeighborList(
         displacement_fn=displacement_fn,
         block_size=block_size,
