@@ -166,7 +166,12 @@ def _bonded_neighbors(strand_lengths: list[int], is_circular: list[bool]) -> np.
     for length, circ in zip(strand_lengths, is_circular, strict=True):
         pairs.extend(itertools.pairwise(range(start, start + length)))
         if circ:
-            pairs.append((start, start + length - 1))
+            # Wraparound bond keeps the (3'-side, 5'-side) convention: the
+            # strand is stored 3'->5', so the last nucleotide's 5' neighbor
+            # is the first nucleotide. Emitting (start, last) instead would
+            # mirror directional stacking angles AND collide with the
+            # (start, start+1) bond in bonded_partner_table's prev[] row.
+            pairs.append((start + length - 1, start))
         start += length
     return np.array(pairs, dtype=np.int32)
 

@@ -31,6 +31,11 @@ from mythos_tpu.utils.types import Arr, Grads, Params, Scalar
 
 ERR_MISSING_ARG = "Missing required argument: {missing_arg}."
 ERR_OBJECTIVE_NOT_READY = "Not all required observables have been obtained."
+ERR_NEIGHBOR_OVERFLOW = (
+    "Trajectory was produced with an overflowed neighbor table (dropped pair "
+    "interactions). Enlarge the neighbor-list capacity (capacity/"
+    "capacity_multiplier) and re-simulate."
+)
 
 empty_dict = types.MappingProxyType({})
 
@@ -211,6 +216,13 @@ class DiffTReObjective(Objective):
         trajectories = [o for o in sorted_obs if isinstance(o, SimulatorTrajectory)]
         if not trajectories:
             raise ValueError("No SimulatorTrajectory observables found in observables.")
+
+        # a trajectory produced with an overflowed neighbor table silently
+        # dropped pair interactions -- reweighting it would corrupt the fit
+        for t in trajectories:
+            overflow = (t.metadata or {}).get("neighbor_overflow")
+            if overflow is not None and bool(jnp.any(overflow)):
+                raise RuntimeError(ERR_NEIGHBOR_OVERFLOW)
 
         if self.n_equilibration_steps > 0:
             trajectories = [

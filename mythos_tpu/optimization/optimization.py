@@ -196,6 +196,27 @@ class PoolOptimizer(Optimizer):
     max_workers: int | None = None
     executor_factory: Callable[..., cf.Executor] = cf.ThreadPoolExecutor
 
+    def _effective_max_workers(self) -> int | None:
+        """Honor SchedulerHints.num_cpus: size the pool so that concurrent
+        tasks' declared CPU needs fit the host (reference analog: Ray options
+        from hints, mythos/optimization/optimization.py:217-223)."""
+        if self.max_workers is not None:
+            return self.max_workers
+        import os
+
+        declared = [
+            unit.scheduler_hints.num_cpus
+            for unit in (*self.objectives, *self.simulators)
+            if unit.scheduler_hints is not None and unit.scheduler_hints.num_cpus
+        ]
+        if not declared:
+            return None
+        return max(1, (os.cpu_count() or 1) // max(declared))
+
+    def _max_retries(self, unit) -> int:
+        hints = getattr(unit, "scheduler_hints", None)
+        return hints.max_retries if hints is not None and hints.max_retries else 0
+
     def __post_init__(self) -> None:
         if not self.objectives:
             raise ValueError(ERR_MISSING_OBJECTIVES)
@@ -232,8 +253,12 @@ class PoolOptimizer(Optimizer):
         running_producers: set[str] = set()
         grads_completed: dict[str, Grads] = {}
         output_observables: dict[str, dict[str, Any]] = {}
+        retries_left = {
+            name: self._max_retries(unit)
+            for name, unit in {**obj_lookup, **sim_lookup}.items()
+        }
 
-        with self.executor_factory(max_workers=self.max_workers) as pool:
+        with self.executor_factory(max_workers=self._effective_max_workers()) as pool:
             while (needed := set(obj_lookup) - set(grads_completed)) or futures:
                 for obj_name in needed:
                     objective = obj_lookup[obj_name]
@@ -268,6 +293,21 @@ class PoolOptimizer(Optimizer):
                 for fut in done:
                     producer = futures.pop(fut)
                     running_producers.discard(producer)
+                    if fut.exception() is not None:
+                        # honor SchedulerHints.max_retries: release the
+                        # producer so the scheduling pass resubmits it
+                        if producer in sim_lookup:
+                            running_producers.difference_update(sim_lookup[producer].exposes())
+                        if retries_left.get(producer, 0) <= 0:
+                            raise fut.exception()
+                        retries_left[producer] -= 1
+                        if producer in call_count:
+                            call_count[producer] -= 1  # retry != fresh attempt
+                        LOGGER.warning(
+                            "Task %s failed (%s); retrying (%d retries left).",
+                            producer, fut.exception(), retries_left[producer],
+                        )
+                        continue
                     if producer in obj_lookup:
                         output = fut.result()
                         component_state[producer] = output.state

@@ -197,17 +197,23 @@ def nvt_langevin_soa(
     dt: Scalar,
     kT: Scalar,  # noqa: N803 - domain casing
     gamma: RigidBody,
+    grad_fn: Callable | None = None,
 ) -> tuple[Callable, Callable]:
     """SoA rigid-body BAOAB Langevin: same scheme as :func:`nvt_langevin`.
 
     ``energy_fn(body: BodySoA, **kwargs) -> scalar``; ``shift_fn`` operates
     on Vec3 (spaces.free_soa / periodic_soa). Forces/torques come from one
-    reverse-mode gradient w.r.t. the SoA body.
+    reverse-mode gradient w.r.t. the SoA body, or from ``grad_fn(body,
+    **kwargs)`` when given -- a direct gradient evaluator (e.g.
+    ops.oxdna_tiles.fused_grads_soa) that skips the energy forward pass.
     """
     dt = jnp.asarray(dt)
 
     def force_torque(body: soa.BodySoA, **kwargs: Any) -> tuple[soa.Vec3, soa.Vec3]:
-        grads = jax.grad(lambda b: energy_fn(b, **kwargs))(body)
+        if grad_fn is not None:
+            grads = grad_fn(body, **kwargs)
+        else:
+            grads = jax.grad(lambda b: energy_fn(b, **kwargs))(body)
         force = soa.Vec3(-grads.center.x, -grads.center.y, -grads.center.z)
         torque = soa.quat_cotangent_to_torque_soa(body.orientation, grads.orientation)
         return force, torque

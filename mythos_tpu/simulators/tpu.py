@@ -46,6 +46,15 @@ ERR_UPDATE_EVERY = (
     "`neighbor_update_every` must divide save_every (or n_steps when emitting "
     "every step). Got {} and {}."
 )
+ERR_PERIODIC_SOA = (
+    "use_soa=True with a periodic space requires space_soa "
+    "(spaces.periodic_soa); the SoA path would otherwise silently integrate "
+    "in free space."
+)
+ERR_PERIODIC_FUSED = (
+    "the fused Pallas kernels (symmetric block table) compute free-space "
+    "displacements; periodic boxes need a non-symmetric table (XLA tile path)."
+)
 
 
 @chex.dataclass
@@ -171,14 +180,21 @@ def build_run_fn(
     static_nbrs = isinstance(neighbors, (NoNeighborList, DensePairs))
     block_nbrs = isinstance(neighbors, BlockNeighborList)
 
+    aos_periodic = getattr(shift_fn, "is_periodic", False)
     if use_soa is None:
+        # never auto-substitute a free-space SoA shift for a periodic box
         use_soa = (
             block_nbrs
             and simulator_init is integrators.nvt_langevin
             and getattr(energy_fn, "supports_soa", lambda: False)()
+            and (not aos_periodic or space_soa is not None)
         )
+    elif use_soa and aos_periodic and space_soa is None:
+        raise ValueError(ERR_PERIODIC_SOA)
     if use_soa:
         shift = (space_soa or spaces.free_soa())[1]
+        if block_nbrs and neighbors.symmetric and getattr(shift, "is_periodic", False):
+            raise ValueError(ERR_PERIODIC_FUSED)
         sim_init = (
             integrators.nvt_langevin_soa
             if simulator_init is integrators.nvt_langevin
@@ -209,6 +225,7 @@ def build_run_fn(
         # so gradients flow through the derivation.
         updated_energy_fn = energy_fn.with_params(opt_params)
 
+        _grad_fn = None
         if isinstance(neighbors, DensePairs):
             # dense path: the terms carry their (constant) pair masks
             def _energy_fn(body, unbonded_neighbors=None) -> Scalar:
@@ -222,6 +239,12 @@ def build_run_fn(
 
                 def _energy_fn(body, unbonded_neighbors: Arr) -> Scalar:
                     return oxdna_tiles.fused_energy_soa(
+                        updated_energy_fn, body, unbonded_neighbors, neighbors.block_size
+                    )
+
+                # Langevin consumes forces only: skip the forward kernel
+                def _grad_fn(body, unbonded_neighbors: Arr):
+                    return oxdna_tiles.fused_grads_soa(
                         updated_energy_fn, body, unbonded_neighbors, neighbors.block_size
                     )
             elif use_soa:
@@ -239,7 +262,12 @@ def build_run_fn(
             def _energy_fn(body, unbonded_neighbors: Arr) -> Scalar:
                 return updated_energy_fn.with_props(unbonded_neighbors=unbonded_neighbors)(body)
 
-        init_fn, step_fn = sim_init(_energy_fn, shift, **simulator_params.sim_init_fn)
+        extra_init: dict[str, Any] = {}
+        if _grad_fn is not None and sim_init is integrators.nvt_langevin_soa:
+            extra_init["grad_fn"] = _grad_fn
+        init_fn, step_fn = sim_init(
+            _energy_fn, shift, **simulator_params.sim_init_fn, **extra_init
+        )
 
         nbrs0 = neighbors
         r0 = soa.to_soa(init_state) if use_soa and isinstance(init_state, RigidBody) else init_state

@@ -32,6 +32,7 @@ def free() -> Space:
     def shift(r: Arr, dr: Arr) -> Arr:
         return r + dr
 
+    displacement.is_periodic = shift.is_periodic = False
     return displacement, shift
 
 
@@ -47,6 +48,7 @@ def periodic(box_size: Union[float, Arr]) -> Space:
         box = jnp.asarray(box_size, dtype=r.dtype)
         return jnp.mod(r + dr, box)
 
+    displacement.is_periodic = shift.is_periodic = True
     return displacement, shift
 
 
@@ -66,6 +68,7 @@ def free_soa() -> Space:
     def shift(r, dr):
         return r + dr
 
+    displacement.is_periodic = shift.is_periodic = False
     return displacement, shift
 
 
@@ -88,4 +91,5 @@ def periodic_soa(box_size: Union[float, Arr]) -> Space:
 
         return Vec3(*(jnp.mod(c + dc, bb) for c, dc, bb in zip(r, dr, (bx, by, bz), strict=True)))
 
+    displacement.is_periodic = shift.is_periodic = True
     return displacement, shift

@@ -1,0 +1,186 @@
+"""Golden-file regression breadth: top-level oxDNA fixture dirs.
+
+Extends the model-subdir golden tests (test_dna1_golden.py etc.) to the
+reference's wider regression set (/root/reference/data/test-data/*): circular
+topologies, larger helices, reversed coax geometries, sequence-dependent
+parameter files, and half-charged-end electrostatics -- per-term energies vs
+oxDNA-generated split_energy.dat and totals vs energy.dat.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import mythos_tpu.energy.dna1 as dna1
+import mythos_tpu.energy.dna2 as dna2
+import mythos_tpu.energy.rna2 as rna2
+import mythos_tpu.io.topology as top
+import mythos_tpu.io.trajectory as traj
+from mythos_tpu import spaces
+from mythos_tpu.energy.base import ComposedEnergyFunction
+from mythos_tpu.io import oxdna_input
+from mythos_tpu.io.sequence_dependence import read_ss_weights
+
+KT_296 = 296.15 * 0.1 / 300.0
+
+DNA2_COLUMNS = [
+    "t", "fene", "bonded_excluded_volume", "stacking", "unbonded_excluded_volume",
+    "hydrogen_bonding", "cross_stacking", "coaxial_stacking", "debye",
+]
+
+#: dir -> (model pkg, topology file, conf for box, overrides)
+DNA2_SPLIT_DIRS = {
+    "regr-circle": ("sys.top", {"half_charged_ends": True}),
+    "regr-burns-natnano-2015": ("sys.top", {"half_charged_ends": True}),
+    "simple-coax-oxdna2": ("generated.top", {"half_charged_ends": False}),
+    "simple-coax-oxdna2-rev": ("generated.top", {"half_charged_ends": False}),
+    "simple-helix-oxdna2-12bp": ("sys.top", {"half_charged_ends": False}),
+}
+
+TOLS = {"cross_stacking": 1e-3, "hydrogen_bonding": 1e-3, "debye": 1e-3}
+
+
+def _load(base_dir: Path, top_file: str):
+    topology = top.from_oxdna_file(base_dir / top_file)
+    trajectory = traj.from_file(base_dir / "output.dat", topology.strand_counts, is_5p_3p=False)
+    inp = oxdna_input.read(base_dir / "input")
+    conf = base_dir / str(inp.get("conf_file", "init.conf"))
+    box = oxdna_input.read_box_size(conf)
+    displacement_fn, _ = spaces.periodic(float(np.max(np.asarray(box))))
+    return topology, trajectory, displacement_fn
+
+
+def _dna2_energy_fn(topology, displacement_fn, overrides):
+    return ComposedEnergyFunction.from_lists(
+        energy_fns=dna2.default_energy_fns(),
+        energy_configs=dna2.default_energy_configs(overrides=overrides),
+        transform_fn=dna2.default_transform_fn(),
+        displacement_fn=displacement_fn,
+        topology=topology,
+    )
+
+
+def _split(base_dir: Path, term: str) -> np.ndarray:
+    data = np.loadtxt(base_dir / "split_energy.dat", skiprows=1)
+    return data[:, DNA2_COLUMNS.index(term)]
+
+
+@pytest.mark.parametrize("dirname", list(DNA2_SPLIT_DIRS))
+@pytest.mark.parametrize("term", DNA2_COLUMNS[1:])
+def test_dna2_regression_split(test_data_dir, dirname, term):
+    base_dir = Path(test_data_dir) / dirname
+    top_file, overrides = DNA2_SPLIT_DIRS[dirname]
+    topology, trajectory, displacement_fn = _load(base_dir, top_file)
+    energy_fn = _dna2_energy_fn(topology, displacement_fn, {"kT": KT_296, **overrides})
+
+    term_map = {
+        "fene": "Fene", "bonded_excluded_volume": "BondedExcludedVolume",
+        "stacking": "Stacking", "unbonded_excluded_volume": "UnbondedExcludedVolume",
+        "hydrogen_bonding": "HydrogenBonding", "cross_stacking": "CrossStacking",
+        "coaxial_stacking": "CoaxialStacking", "debye": "Debye",
+    }
+    keep = term_map[term]
+    single = energy_fn.without_terms(*(v for k, v in term_map.items() if k != term))
+    assert len(single.energy_fns) == 1, keep
+
+    energy = single.map(trajectory.state_rigid_body)
+    energy = np.around(np.asarray(energy) / topology.n_nucleotides, 6)
+    np.testing.assert_allclose(energy, _split(base_dir, term), atol=TOLS.get(term, 2e-6))
+
+
+@pytest.mark.parametrize(
+    "dirname",
+    [
+        "regr-circle",
+        "regr-burns-natnano-2015",
+        "simple-coax-oxdna2",
+        "simple-coax-oxdna2-rev",
+        "simple-helix-oxdna2-12bp",
+        "simple-helix-60bp-oxdna2",
+    ],
+)
+def test_dna2_regression_total(test_data_dir, dirname):
+    base_dir = Path(test_data_dir) / dirname
+    top_file = DNA2_SPLIT_DIRS.get(dirname, ("sys.top", None))[0]
+    overrides = DNA2_SPLIT_DIRS.get(dirname, (None, {"half_charged_ends": False}))[1]
+    topology, trajectory, displacement_fn = _load(base_dir, top_file)
+    energy_fn = _dna2_energy_fn(topology, displacement_fn, {"kT": KT_296, **overrides})
+
+    energies = np.asarray(energy_fn.map(trajectory.state_rigid_body)) / topology.n_nucleotides
+    golden_total = np.loadtxt(base_dir / "energy.dat")
+    golden_total = golden_total[-len(energies):, 1]
+    np.testing.assert_allclose(energies, golden_total, rtol=1e-4, atol=2e-4)
+
+
+def test_dna1_seq_dep_total(test_data_dir):
+    """simple-helix-ss: oxDNA1 sequence-dependent stacking/HB weights."""
+    base_dir = Path(test_data_dir) / "simple-helix-ss"
+    topology, trajectory, displacement_fn = _load(base_dir, "generated.top")
+    ss = read_ss_weights(base_dir / "oxDNA1_sequence_dependent_parameters.txt")
+
+    energy_fn = ComposedEnergyFunction.from_lists(
+        energy_fns=dna1.default_energy_fns(),
+        energy_configs=dna1.default_energy_configs(
+            overrides={
+                "kT": KT_296,
+                "stacking": {
+                    "ss_stack_weights": ss["ss_stack_weights"],
+                    "eps_stack_kt_coeff": ss["eps_stack_kt_coeff"],
+                },
+                "hydrogen_bonding": {"ss_hb_weights": ss["ss_hb_weights"]},
+            }
+        ),
+        transform_fn=dna1.default_transform_fn(),
+        displacement_fn=displacement_fn,
+        topology=topology,
+    )
+    energies = np.asarray(energy_fn.map(trajectory.state_rigid_body)) / topology.n_nucleotides
+    golden_total = np.loadtxt(base_dir / "energy.dat")
+    golden_total = golden_total[-len(energies):, 1]
+    np.testing.assert_allclose(energies, golden_total, rtol=1e-4, atol=2e-4)
+
+
+RNA2_HCE = "simple-helix-rna2-12bp-half-charged-ends"
+
+
+@pytest.mark.parametrize("term", DNA2_COLUMNS[1:])
+def test_rna2_hce_split(test_data_dir, term):
+    """rna2 at 1.0 M salt with half-charged ends (top-level fixture)."""
+    base_dir = Path(test_data_dir) / RNA2_HCE
+    topology, trajectory, displacement_fn = _load(base_dir, "generated.top")
+
+    _, params = rna2.default_configs()
+    builders = {
+        "fene": (dna1.Fene, dna1.FeneConfiguration, "fene", {}),
+        "bonded_excluded_volume": (
+            dna1.BondedExcludedVolume, dna1.BondedExcludedVolumeConfiguration,
+            "bonded_excluded_volume", {},
+        ),
+        "stacking": (rna2.Stacking, rna2.StackingConfiguration, "stacking", {"kt": KT_296}),
+        "unbonded_excluded_volume": (
+            dna1.UnbondedExcludedVolume, dna1.UnbondedExcludedVolumeConfiguration,
+            "unbonded_excluded_volume", {},
+        ),
+        "hydrogen_bonding": (
+            dna1.HydrogenBonding, dna1.HydrogenBondingConfiguration, "hydrogen_bonding", {},
+        ),
+        "cross_stacking": (rna2.CrossStacking, rna2.CrossStackingConfiguration, "cross_stacking", {}),
+        "coaxial_stacking": (
+            dna1.CoaxialStacking, dna1.CoaxialStackingConfiguration, "coaxial_stacking", {},
+        ),
+        "debye": (
+            dna2.Debye, dna2.DebyeConfiguration, "debye",
+            {"kt": KT_296, "salt_conc": 1.0, "half_charged_ends": True},
+        ),
+    }
+    cls, cfg_cls, key, extra = builders[term]
+    energy_fn = cls(
+        displacement_fn=displacement_fn,
+        transform_fn=rna2.default_transform_fn(),
+        topology=topology,
+        params=cfg_cls(**(dict(params[key]) | extra)).init_params(),
+    )
+    energy = energy_fn.map(trajectory.state_rigid_body)
+    energy = np.around(np.asarray(energy) / topology.n_nucleotides, 6)
+    np.testing.assert_allclose(energy, _split(base_dir, term), atol=TOLS.get(term, 2e-6))

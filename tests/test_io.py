@@ -65,7 +65,8 @@ def test_topology_circular(tmp_path):
     p = tmp_path / "sys.top"
     p.write_text("3 1\n1 A 2 1\n1 C 0 2\n1 G 1 0\n")
     t = top.from_oxdna_file(p)
-    assert t.bonded_neighbors.tolist() == [[0, 1], [1, 2], [0, 2]]
+    # wraparound bond keeps (3'-side, 5'-side) order: last nucleotide first
+    assert t.bonded_neighbors.tolist() == [[0, 1], [1, 2], [2, 0]]
     assert t.is_end.tolist() == [0, 0, 0]
 
 

@@ -276,3 +276,76 @@ def test_difftre_equilibration_slicing():
     out = obj.calculate({"traj": _traj(6)}, opt_params={"scale": jnp.array(1.0)})
     assert out.is_ready
     assert float(out.observables["n"]) == 4
+
+
+# -- SchedulerHints + overflow wiring -------------------------------------------
+
+
+@chex.dataclass(frozen=True, kw_only=True)
+class FlakySimulator(MockSimulator):
+    """Fails the first `fail_times` runs (per-instance mutable counter)."""
+
+    fail_times: int = 1
+
+    def __post_init__(self):
+        object.__setattr__(self, "_attempts", [0])
+
+    def run(self, opt_params=None, runs: int = 0, **kwargs) -> SimulatorOutput:
+        self._attempts[0] += 1
+        if self._attempts[0] <= self.fail_times:
+            raise RuntimeError("transient engine failure")
+        return MockSimulator.run(self, opt_params=opt_params, runs=runs, **kwargs)
+
+
+def test_pool_optimizer_honors_max_retries():
+    from mythos_tpu.utils.scheduler import SchedulerHints
+
+    sim = FlakySimulator(
+        name="sim", fail_times=1, scheduler_hints=SchedulerHints(max_retries=2)
+    )
+    objective = _quadratic_objective("obj", sim.exposes()[0])
+    opt = PoolOptimizer(
+        objectives=[objective],
+        simulators=[sim],
+        aggregate_grad_fn=lambda gs: gs[0],
+        optimizer=optax.sgd(0.1),
+    )
+    out = opt.step({"x": jnp.array(1.0)})
+    np.testing.assert_allclose(float(out.opt_params["x"]), 0.8, atol=1e-6)
+    assert sim._attempts[0] == 2  # one failure + one retried success
+
+
+def test_pool_optimizer_no_retries_reraises():
+    sim = FlakySimulator(name="sim", fail_times=1)  # no hints -> no retries
+    objective = _quadratic_objective("obj", sim.exposes()[0])
+    opt = PoolOptimizer(
+        objectives=[objective],
+        simulators=[sim],
+        aggregate_grad_fn=lambda gs: gs[0],
+        optimizer=optax.sgd(0.1),
+    )
+    with pytest.raises(RuntimeError, match="transient engine failure"):
+        opt.step({"x": jnp.array(1.0)})
+
+
+def test_difftre_rejects_overflowed_trajectory():
+    import mythos_tpu.energy.dna1 as dna1
+    from __graft_entry__ import _tiny_duplex
+
+    topology, body = _tiny_duplex(4)
+    energy_fn = dna1.create_default_energy_fn(topology)
+    n_states = 4
+    traj = SimulatorTrajectory(
+        center=jnp.tile(body.center[None], (n_states, 1, 1)),
+        orientation=jnp.tile(body.orientation[None], (n_states, 1, 1)),
+        temperature=jnp.full(n_states, 0.1),
+    ).with_state_metadata(neighbor_overflow=jnp.asarray(True))
+
+    objective = DiffTReObjective(
+        name="obj",
+        required_observables=("t",),
+        grad_or_loss_fn=lambda *a, **k: ({}, []),
+        energy_fn=energy_fn,
+    )
+    with pytest.raises(RuntimeError, match="overflowed neighbor table"):
+        objective.calculate({"t": traj}, opt_params=energy_fn.opt_params())
