@@ -19,8 +19,17 @@ from mythos_tpu.simulators.neighbors import block_neighbor_list_for_topology
 B = 16
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _f32_mode():
+    # the fused kernels are f32-only (build_tile_inputs raises under x64);
+    # the session conftest enables x64 for golden parity, so scope it off here
+    jax.config.update("jax_enable_x64", False)
+    yield
+    jax.config.update("jax_enable_x64", True)
+
+
 @pytest.fixture(scope="module")
-def system():
+def system(_f32_mode):
     topology, body = _tiny_duplex(40)
     e0 = dna2.create_default_energy_fn(topology, block_unbonded=True, block_size=B)
     cutoff = dna2.default_neighbor_cutoff()
