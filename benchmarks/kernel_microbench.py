@@ -130,6 +130,20 @@ def main():
 
     timeit("math-only (static panel + transpose)", scan_k(math_only), rows_rf)
 
+    # D2. non-resident path: XLA gathers (nb, F, M) panels in HBM, the kernel
+    # pipelines them in -- no in-kernel assembly, no transpose
+    spec_nr = spec._replace(resident=False)
+    timeit("fwd kernel (XLA-gather panels)", scan_k(
+        lambda rows: ot._fwd_impl(rows, params_vec, ids_p, spec_nr)), rows_rf)
+    timeit("bwd rows kernel (XLA-gather panels)", scan_k(
+        lambda rows: ot._bwd_rows_impl(rows, params_vec, ids_p, gt, spec_nr)), rows_rf)
+
+    # D3. gather-only: materialize the panels, sum them (HBM gather cost)
+    def gather_only(rows):
+        return jnp.sum(ot._gather_cols(rows, ids_p, spec))
+
+    timeit("XLA panel gather alone", scan_k(gather_only), rows_rf)
+
     # E. per-term-group math cost: drop terms one group at a time
     import mythos_tpu.energy.dna1.terms as t1  # noqa: F401
 

@@ -141,6 +141,96 @@ def test_dna1_seq_dep_total(test_data_dir):
     np.testing.assert_allclose(energies, golden_total, rtol=1e-4, atol=2e-4)
 
 
+# Debye-Hueckel derived parameters vs oxDNA's own derivation, as printed in
+# the fixture sim.logs ("DEBUGGING: rhigh is ... RC huckel is ... B huckel is
+# ... lambda is ...", e.g. regr-rna2-2ht-293.15-sa/sim.log). Covers the
+# regr-rna2-* (both temps), and regr-circle-rna fixture configurations
+# (all at salt_concentration = 1.0 with the oxRNA2 charge parameters).
+RNA2_DEBYE_GOLDEN = {
+    # T_kelvin: (lambda, r_high, r_cut, smoothing_coeff)
+    293.15: (0.362515, 1.08754, 1.63132, 0.0132838),
+    296.15: (0.364365, 1.0931, 1.63964, 0.0130825),
+}
+
+
+@pytest.mark.parametrize("t_kelvin", sorted(RNA2_DEBYE_GOLDEN))
+def test_rna2_debye_derived_params(t_kelvin):
+    lam, r_high, r_cut, b = RNA2_DEBYE_GOLDEN[t_kelvin]
+    _, params = rna2.default_configs()
+    cfg = dna2.DebyeConfiguration(
+        **dict(params["debye"]) | {"kt": 0.1 * t_kelvin / 300.0, "salt_conc": 1.0, "half_charged_ends": False}
+    ).init_params()
+    assert float(cfg.lambda_) == pytest.approx(lam, rel=2e-5)
+    assert float(cfg.r_high) == pytest.approx(r_high, rel=2e-5)
+    assert float(cfg.r_cut) == pytest.approx(r_cut, rel=2e-5)
+    assert float(cfg.smoothing_coeff) == pytest.approx(b, rel=2e-5)
+
+
+# Melting temperature via umbrella-sampling histogram reweighting: the
+# reference pins Tm = 0.1009298 and a 20-point melting curve on the
+# melting_temp fixture (mythos/observables/tests/test_melting_temp.py:22-47).
+MELTING_KT = 0.10238333333333333
+MELTING_KT_RANGE = 0.1 * np.linspace(280.0, 350.0, 20) / 300.0
+MELTING_FINF = np.array([
+    9.54661208e-01, 9.30589100e-01, 8.94485689e-01, 8.41267687e-01,
+    7.64995709e-01, 6.60578535e-01, 5.27863030e-01, 3.77845592e-01,
+    2.35185564e-01, 1.26478977e-01, 6.05169415e-02, 2.70268531e-02,
+    1.17361152e-02, 5.08819979e-03, 2.24055667e-03, 1.01612059e-03,
+    4.81753103e-04, 2.43235060e-04, 1.33714983e-04, 8.17874679e-05,
+])
+
+
+def test_melting_temp_golden(test_data_dir):
+    import jax.numpy as jnp
+
+    from mythos_tpu.observables.melting_temp import MeltingTemp, jax_interp1d
+    from mythos_tpu.simulators.io import SimulatorTrajectory
+    from mythos_tpu.simulators.oxdna.utils import read_energy
+
+    base_dir = Path(test_data_dir) / "melting_temp"
+    topology = top.from_oxdna_file(base_dir / "sys.top")
+    trajectory = traj.from_file(base_dir / "trajectory.dat", topology.strand_counts, is_5p_3p=False)
+
+    energy_fn = (
+        ComposedEnergyFunction.from_lists(
+            energy_fns=dna1.default_energy_fns(),
+            energy_configs=dna1.default_energy_configs(),
+            transform_fn=dna1.default_transform_fn(),
+            displacement_fn=spaces.periodic(20.0)[0],
+            topology=topology,
+        )
+        .with_noopt("ss_stack_weights", "ss_hb_weights", "kt")
+        .with_params(kt=MELTING_KT)
+    )
+    melting_temp = MeltingTemp(
+        rigid_body_transform_fn=dna1.default_transform_fn(),
+        sim_temperature=MELTING_KT,
+        temperature_range=jnp.asarray(MELTING_KT_RANGE),
+        energy_fn=energy_fn,
+    )
+    sim_traj = SimulatorTrajectory.from_rigid_body(trajectory.state_rigid_body)
+    energy = read_energy(base_dir)
+
+    assert float(jax_interp1d(jnp.asarray(MELTING_FINF), jnp.asarray(MELTING_KT_RANGE), 0.5)) == pytest.approx(0.1009298, rel=1e-5)
+
+    temps, curve = melting_temp.get_melting_curve(
+        trajectory=sim_traj,
+        bind_states=energy["bond"].to_numpy(),
+        umbrella_weights=energy["weight"].to_numpy(),
+        opt_params=energy_fn.opt_params(),
+    )
+    np.testing.assert_allclose(np.asarray(temps), MELTING_KT_RANGE, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(curve), MELTING_FINF, rtol=1e-4)
+
+    tm = melting_temp(
+        trajectory=sim_traj,
+        bind_states=energy["bond"].to_numpy(),
+        umbrella_weights=energy["weight"].to_numpy(),
+        opt_params=energy_fn.opt_params(),
+    )
+    assert float(tm) == pytest.approx(0.1009298, rel=1e-5)
+
+
 RNA2_HCE = "simple-helix-rna2-12bp-half-charged-ends"
 
 
