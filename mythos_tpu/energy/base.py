@@ -402,7 +402,7 @@ class ComposedEnergyFunction(EnergyFunction):
 
     def __call__(self, body: RigidBody) -> Scalar:
         energy_vals = self.compute_terms(body)
-        return jnp.sum(energy_vals) if self.weights is None else jnp.dot(self.weights, energy_vals)
+        return jnp.sum(energy_vals) if self.weights is None else jnp.sum(self.weights * energy_vals)
 
     def supports_soa(self) -> bool:
         """True when every member implements the SoA hot path."""
@@ -465,7 +465,7 @@ class ComposedEnergyFunction(EnergyFunction):
     def energy_soa(self, body_soa) -> Scalar:
         """Total SoA energy (weighted like __call__)."""
         vals = self.compute_terms_soa(body_soa)
-        return jnp.sum(vals) if self.weights is None else jnp.dot(self.weights, vals)
+        return jnp.sum(vals) if self.weights is None else jnp.sum(self.weights * vals)
 
     def map(self, body_sequence: RigidBody) -> Arr:
         """Map the energy over a stacked (S, ...) body sequence.

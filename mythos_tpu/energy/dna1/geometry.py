@@ -35,6 +35,33 @@ def _angle(u: Arr, v: Arr) -> Arr:
     return safe_arccos(jnp.sum(u * v, axis=-1))
 
 
+def _outer_dot3(u: Arr, v: Arr) -> Arr:
+    """(N,3) x (M,3) -> (N,M) pairwise dots, exact f32 on the VPU."""
+    return (
+        u[:, 0, None] * v[None, :, 0]
+        + u[:, 1, None] * v[None, :, 1]
+        + u[:, 2, None] * v[None, :, 2]
+    )
+
+
+def _field_dot3_i(u: Arr, field: Arr) -> Arr:
+    """(N,3) x (N,M,3) -> (N,M): dot of each row vector with the field."""
+    return (
+        u[:, None, 0] * field[..., 0]
+        + u[:, None, 1] * field[..., 1]
+        + u[:, None, 2] * field[..., 2]
+    )
+
+
+def _field_dot3_j(u: Arr, field: Arr) -> Arr:
+    """(M,3) x (N,M,3) -> (N,M): dot of each column vector with the field."""
+    return (
+        u[None, :, 0] * field[..., 0]
+        + u[None, :, 1] * field[..., 1]
+        + u[None, :, 2] * field[..., 2]
+    )
+
+
 def _angle_dr(u: Arr, dr: Arr, r: Arr) -> Arr:
     """NaN-safe arccos of (u . dr) / r."""
     return safe_arccos(jnp.sum(u * dr, axis=-1) / _safe(r))
@@ -165,13 +192,16 @@ def unbonded_geometry_dense(
     inv_r = 1.0 / _safe(r_base)
 
     # frame-frame angles are plain (N,3)@(3,N) contractions (MXU)
-    theta1 = safe_arccos(-jnp.einsum("id,jd->ij", a1_i, a1_j))
-    theta4 = safe_arccos(jnp.einsum("id,jd->ij", n_i, n_j))
+    # elementwise 3-component dots, NOT einsum: the default matmul precision
+    # rounds f32 operands to bf16 on the TPU MXU, which loses ~4e-3 in each
+    # cosine and up to 1e-2 per pair energy through arccos near |x|=1
+    theta1 = safe_arccos(-_outer_dot3(a1_i, a1_j))
+    theta4 = safe_arccos(_outer_dot3(n_i, n_j))
     # frame-dr angles contract the (N,N,3) displacement field once each
-    theta2 = safe_arccos(-jnp.einsum("jd,ijd->ij", a1_j, dr_base) * inv_r)
-    theta3 = safe_arccos(jnp.einsum("id,ijd->ij", a1_i, dr_base) * inv_r)
-    theta7 = safe_arccos(-jnp.einsum("jd,ijd->ij", n_j, dr_base) * inv_r)
-    theta8 = jnp.pi - safe_arccos(jnp.einsum("id,ijd->ij", n_i, dr_base) * inv_r)
+    theta2 = safe_arccos(-_field_dot3_j(a1_j, dr_base) * inv_r)
+    theta3 = safe_arccos(_field_dot3_i(a1_i, dr_base) * inv_r)
+    theta7 = safe_arccos(-_field_dot3_j(n_j, dr_base) * inv_r)
+    theta8 = jnp.pi - safe_arccos(_field_dot3_i(n_i, dr_base) * inv_r)
 
     return UnbondedGeometry(
         dr_base=dr_base,
@@ -204,12 +234,13 @@ def coax_geometry_dense(
     r_back = jnp.sqrt(jnp.sum(dr_back * dr_back, axis=-1) + 1e-18)
     dr_back_norm = dr_back * (1.0 / _safe(r_back))[..., None]
 
-    theta1 = safe_arccos(-jnp.einsum("id,jd->ij", a1_i, a1_j))
-    theta4 = safe_arccos(jnp.einsum("id,jd->ij", n_i, n_j))
-    theta5 = safe_arccos(jnp.einsum("id,ijd->ij", n_i, dr_stack_norm))
-    theta6 = safe_arccos(-jnp.einsum("jd,ijd->ij", n_j, dr_stack_norm))
-    cosphi3 = jnp.einsum("ijd,ijd->ij", dr_stack_norm, jnp.cross(dr_back_norm, a1_j[None, :, :]))
-    cosphi4 = jnp.einsum("ijd,ijd->ij", dr_stack_norm, jnp.cross(dr_back_norm, a1_i[:, None, :]))
+    # elementwise 3-component dots, NOT einsum (see unbonded_geometry_dense)
+    theta1 = safe_arccos(-_outer_dot3(a1_i, a1_j))
+    theta4 = safe_arccos(_outer_dot3(n_i, n_j))
+    theta5 = safe_arccos(_field_dot3_i(n_i, dr_stack_norm))
+    theta6 = safe_arccos(-_field_dot3_j(n_j, dr_stack_norm))
+    cosphi3 = jnp.sum(dr_stack_norm * jnp.cross(dr_back_norm, a1_j[None, :, :]), axis=-1)
+    cosphi4 = jnp.sum(dr_stack_norm * jnp.cross(dr_back_norm, a1_i[:, None, :]), axis=-1)
 
     return CoaxGeometry(
         dr_stack=dr_stack,

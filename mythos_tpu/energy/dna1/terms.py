@@ -29,6 +29,7 @@ from mythos_tpu.energy.base import BaseEnergyFunction, BaseNucleotide
 from mythos_tpu.energy.configuration import BaseConfiguration
 from mythos_tpu.energy.dna1 import geometry as geom
 from mythos_tpu.io.sequence_constraints import SequenceConstraints
+from mythos_tpu.utils.math import pmm as _pmm
 from mythos_tpu.utils.math import smooth_abs
 from mythos_tpu.utils.types import Arr, Probabilistic_Sequence, Scalar
 
@@ -610,7 +611,7 @@ class Stacking(BaseEnergyFunction):
         """(N,) eps_stack weights for (i, i+1) pairs via static one-hots."""
         oh = jax.nn.one_hot(seq, 4, dtype=self.params.eps_stack.dtype)
         oh_next = jnp.roll(oh, -1, axis=0)
-        return jnp.sum((oh @ self.params.eps_stack) * oh_next, axis=-1)
+        return jnp.sum(_pmm(oh, self.params.eps_stack) * oh_next, axis=-1)
 
     def rowwise_soa(self, nuc, seq) -> Arr:
         """(N,) shift-path values; valid where bonded_next_mask."""
@@ -821,7 +822,7 @@ class HydrogenBonding(BaseEnergyFunction):
                 "probabilistic sequences use the pair-list path (dense_mask=None)"
             )
         onehot = jax.nn.one_hot(seq, 4, dtype=self.params.eps_hb_weights.dtype)
-        return onehot @ self.params.eps_hb_weights @ onehot.T
+        return _pmm(_pmm(onehot, self.params.eps_hb_weights), onehot.T)
 
     def pair_cutoff(self) -> float:
         return float(self.params.dr_c_high_hb)
@@ -832,7 +833,7 @@ class HydrogenBonding(BaseEnergyFunction):
         w = self.params.eps_hb_weights
         oh_i = jax.nn.one_hot(self.seq if seq_i is None else seq_i, 4, dtype=w.dtype)
         oh_j = jax.nn.one_hot(self.seq if seq_j is None else seq_j, 4, dtype=w.dtype)
-        return self.hb_product(g) * (oh_i @ w @ oh_j.T)
+        return self.hb_product(g) * _pmm(_pmm(oh_i, w), oh_j.T)
 
     def tile_energy_fn(self):
         if self.params.pseq:
@@ -848,7 +849,7 @@ class HydrogenBonding(BaseEnergyFunction):
             g = geom.unbonded_geometry_tile_soa(ri[0], rj[0], self.displacement_soa)
             oh_i = jax.nn.one_hot(ri[1], 4, dtype=w.dtype)
             oh_j = jax.nn.one_hot(rj[1], 4, dtype=w.dtype)
-            return self.hb_product(g) * (oh_i @ w @ oh_j.T)
+            return self.hb_product(g) * _pmm(_pmm(oh_i, w), oh_j.T)
 
         return tile
 

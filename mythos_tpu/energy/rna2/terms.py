@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import mythos_tpu.energy.functions as bf
 import mythos_tpu.energy.smoothing as sm
 from mythos_tpu.energy import seqdep
+from mythos_tpu.utils.math import pmm as _pmm
 from mythos_tpu.energy.base import BaseEnergyFunction
 from mythos_tpu.energy.configuration import BaseConfiguration
 from mythos_tpu.energy.dna1 import geometry as geom
@@ -285,7 +286,7 @@ class Stacking(BaseEnergyFunction):
 
         nuc_j = nuc._replace(**{f: _roll_vec3(getattr(nuc, f)) for f in nuc._fields})
         oh = jax.nn.one_hot(seq, 4, dtype=self.params.eps_stack.dtype)
-        weights = jnp.sum((oh @ self.params.eps_stack) * jnp.roll(oh, -1, axis=0), axis=-1)
+        weights = jnp.sum(_pmm(oh, self.params.eps_stack) * jnp.roll(oh, -1, axis=0), axis=-1)
         return weights * self._v_stack_soa(nuc, nuc_j)
 
     def energy_soa(self, nuc, seq) -> Scalar:

@@ -19,6 +19,7 @@ This is algebraically identical to the reference's four-case evaluation
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 import mythos_tpu.utils.constants as const
@@ -49,7 +50,7 @@ def nucleotide_marginals(pseq: Probabilistic_Sequence, sc: SequenceConstraints) 
     # paired marginal: beta_i @ bp_to_nt[k_i]
     beta = bp_pseq[idx_to_bp[:, 0]]  # (N, 4), junk rows for unpaired (masked)
     k = jnp.clip(idx_to_bp[:, 1], 0, 1)
-    paired_marg = jnp.einsum("nt,nta->na", beta, bp_to_nt[k])
+    paired_marg = jnp.einsum("nt,nta->na", beta, bp_to_nt[k], precision=jax.lax.Precision.HIGHEST)
 
     unpaired_marg = up_pseq[idx_to_up]  # junk rows for paired (masked)
     return jnp.where(is_unpaired[:, None], unpaired_marg, paired_marg)
@@ -81,7 +82,7 @@ def pair_weights(
 
     m_i = marginals[op_i]
     m_j = marginals[op_j]
-    w_ind = jnp.einsum("pa,ab,pb->p", m_i, weights_table, m_j)
+    w_ind = jnp.einsum("pa,ab,pb->p", m_i, weights_table, m_j, precision=jax.lax.Precision.HIGHEST)
 
     # Same-base-pair correction: sum over the 4 bp types of
     # beta[t] * W[nt(t, k_i), nt(t, k_j)].

@@ -40,7 +40,7 @@ def vector_autocorrelate(vecs: Arr) -> Arr:
     corr[d] = sum_i dot(v_i, v_{i+d}) / (n - d), via the Gram matrix.
     """
     n = vecs.shape[0]
-    gram = vecs @ vecs.T  # (n, n), all pair dots in one matmul
+    gram = jnp.matmul(vecs, vecs.T, precision=jax.lax.Precision.HIGHEST)  # (n, n) pair dots
     corr = jnp.stack([jnp.trace(gram, offset=d) for d in range(n)])
     return corr / jnp.arange(n, 0, -1)
 
@@ -90,8 +90,8 @@ class PersistenceLength(obs_base.BaseObservable):
         all_corrs, all_l0s = self.get_all_corrs_and_l0s(trajectory)
 
         if weights is not None:
-            corr_mean = jnp.dot(weights, all_corrs)
-            l0_mean = jnp.dot(weights, all_l0s)
+            corr_mean = jnp.matmul(weights, all_corrs, precision=jax.lax.Precision.HIGHEST)
+            l0_mean = jnp.sum(weights * all_l0s)
         else:
             corr_mean = jnp.mean(all_corrs, axis=0)
             l0_mean = jnp.mean(all_l0s, axis=0)

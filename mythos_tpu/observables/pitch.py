@@ -40,12 +40,12 @@ def single_pitch_angle(
     bb1 = displacement_fn(back_sites[b1], back_sites[a1])
     bb2 = displacement_fn(back_sites[b2], back_sites[a2])
 
-    bb1_proj = displacement_fn(bb1, jnp.dot(axis, bb1) * axis)
-    bb2_proj = displacement_fn(bb2, jnp.dot(axis, bb2) * axis)
+    bb1_proj = displacement_fn(bb1, jnp.sum(axis * bb1) * axis)
+    bb2_proj = displacement_fn(bb2, jnp.sum(axis * bb2) * axis)
     bb1_dir = bb1_proj / jnp.linalg.norm(bb1_proj)
     bb2_dir = bb2_proj / jnp.linalg.norm(bb2_proj)
 
-    return safe_arccos(jnp.dot(bb1_dir, bb2_dir))
+    return safe_arccos(jnp.sum(bb1_dir * bb2_dir))
 
 
 single_pitch_angle_mapped = jax.vmap(single_pitch_angle, in_axes=(0, None, None, None))

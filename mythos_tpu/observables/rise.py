@@ -31,7 +31,7 @@ def single_rise(quartet: Arr, base_sites: Arr, displacement_fn: Callable) -> ARR
     midp1 = (base_sites[a1] + base_sites[b1]) / 2.0
     midp2 = (base_sites[a2] + base_sites[b2]) / 2.0
     dr = displacement_fn(midp2, midp1)
-    return jnp.dot(dr, axis) * units.ANGSTROMS_PER_OXDNA_LENGTH
+    return jnp.sum(dr * axis) * units.ANGSTROMS_PER_OXDNA_LENGTH
 
 
 single_rise_mapped = jax.vmap(single_rise, (0, None, None))

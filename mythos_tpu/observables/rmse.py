@@ -30,16 +30,16 @@ def svd_align(ref_coords: Arr, coords: Arr) -> tuple[Arr, Arr, Arr]:
     centroid = jnp.mean(coords[0], axis=0)
     coords = coords.at[0].set(coords[0] - centroid)
 
-    a = coords[0].T @ ref_coords
+    a = jnp.matmul(coords[0].T, ref_coords, precision=jax.lax.Precision.HIGHEST)
     u, _, vt = jnp.linalg.svd(a)
-    rot = (vt.T @ u.T).T
+    rot = jnp.matmul(vt.T, u.T, precision=jax.lax.Precision.HIGHEST).T
 
     # reflection correction keeps it a proper rotation
     reflected = jnp.linalg.det(rot) < 0
     vt = jnp.where(reflected, vt.at[2].set(-vt[2]), vt)
-    rot = jnp.where(reflected, (vt.T @ u.T).T, rot)
+    rot = jnp.where(reflected, jnp.matmul(vt.T, u.T, precision=jax.lax.Precision.HIGHEST).T, rot)
 
-    return coords[0] @ rot, coords[1] @ rot, coords[2] @ rot
+    return tuple(jnp.matmul(c, rot, precision=jax.lax.Precision.HIGHEST) for c in coords[:3])
 
 
 def single_rmse(target: RigidBody, state_nts) -> ARR_OR_SCALAR:

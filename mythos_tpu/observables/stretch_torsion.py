@@ -28,7 +28,7 @@ def single_angle_xy(quartet: Arr, base_sites: Arr, displacement_fn: Callable) ->
     bb2 = displacement_fn(base_sites[b2], base_sites[a2])[:2]
     bb1 = bb1 / jnp.linalg.norm(bb1)
     bb2 = bb2 / jnp.linalg.norm(bb2)
-    return safe_arccos(jnp.dot(bb1, bb2))
+    return safe_arccos(jnp.sum(bb1 * bb2))
 
 
 @chex.dataclass(frozen=True, kw_only=True)

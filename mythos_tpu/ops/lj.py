@@ -102,7 +102,7 @@ def _bwd_kernel(pos_i_ref, pos_j_ref, oh_i_ref, oh_j_ref, mask_ref, box_ref, sig
     # select, don't multiply: dv_dr2 is +-inf at the zero-distance diagonal
     # (r2 ~ 1e-18 under the f32 wall cap) and inf * 0-mask would give NaN
     coeff = jnp.where(mask_ref[:, :] > 0, 2.0 * dv_dr2, 0.0)
-    grad_i = jnp.einsum("tk,tkd->td", coeff, dr)
+    grad_i = jnp.einsum("tk,tkd->td", coeff, dr, precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(j == 0)
     def _():

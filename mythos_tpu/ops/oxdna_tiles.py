@@ -325,15 +325,11 @@ def _assemble_panel(ids_ref, g, src_ref, panel_rows, spec: TileSpec):
     b_sz, nb = spec.block_size, spec.n_blocks
     for k in range(spec.cap):
         idk = ids_ref[g, k]
-        safe = jnp.minimum(idk, nb - 1) * b_sz
+        # invalid slots (>= n_blocks) clamp to the first PAD block: its rows
+        # carry gid = _BIG already, so the pair masks drop them without a
+        # per-slot branch (build_tile_inputs guarantees nb_pad > n_blocks)
+        safe = jnp.minimum(idk, nb) * b_sz
         panel_rows[k * b_sz : (k + 1) * b_sz, :] = src_ref[pl.ds(safe, b_sz), :]
-
-        @pl.when(idk >= nb)
-        def _():
-            # invalid slot: poison the gid field so the mask drops it
-            panel_rows[k * b_sz : (k + 1) * b_sz, _GID : _GID + 1] = jnp.full(
-                (b_sz, 1), _BIG, panel_rows.dtype
-            )
 
     return panel_rows[...].T  # (F, M)
 
@@ -636,9 +632,20 @@ def _geometry_of(first) -> tuple:
 
 
 def _pick_grid_g(nb: int, block_size: int) -> tuple[int, int]:
-    """(grid_g, nb_pad): amortize per-grid-step costs over ~64 row blocks."""
+    """(grid_g, nb_pad): amortize per-grid-step costs over ~64 row blocks.
+
+    Always pads at least one block past nb: the kernel's panel assembly
+    clamps invalid slot ids onto the first pad block (whose gid field is
+    poisoned) instead of branching per slot."""
     g = min(nb, max(1, 512 // block_size))
     nb_pad = -(-nb // g) * g
+    if nb_pad == nb:
+        if nb <= g:
+            # single grid step: keep block shape == array shape (Mosaic's
+            # divisibility exemption) by growing the step with the pad block
+            g = nb_pad = nb + 1
+        else:
+            nb_pad += g
     return g, nb_pad
 
 
@@ -697,7 +704,7 @@ def build_tile_inputs(composed, body_soa, sym_ids, block_size: int):
     # packed row fields
     hb = next(fn for fn in terms if type(fn).__name__ == "HydrogenBonding")
     oh = jax.nn.one_hot(seq, 4, dtype=jnp.float32)
-    hw = oh @ hb.params.eps_hb_weights.astype(jnp.float32)
+    hw = jnp.dot(oh, hb.params.eps_hb_weights.astype(jnp.float32), precision=jax.lax.Precision.HIGHEST)
     if has_debye:
         debye = next(fn for fn in terms if type(fn).__name__ == "Debye")
         is_end = jnp.asarray(debye.is_end)

@@ -69,8 +69,8 @@ def levenberg_marquardt(
         params, lam = carry
         r = residual_fn(params, **residual_kwargs)
         jac = jax.jacfwd(lambda p: residual_fn(p, **residual_kwargs))(params)
-        jtj = jac.T @ jac
-        jtr = jac.T @ r
+        jtj = jnp.matmul(jac.T, jac, precision=jax.lax.Precision.HIGHEST)
+        jtr = jnp.matmul(jac.T, r, precision=jax.lax.Precision.HIGHEST)
         delta = jnp.linalg.solve(jtj + lam * jnp.eye(n, dtype=jtj.dtype), -jtr)
         new_params = params + delta
         improved = cost(new_params) < jnp.sum(r * r)

@@ -6,10 +6,21 @@ by the oxDNA trajectory reader, smooth_abs, clamp, row-wise dot).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mythos_tpu.utils.types import ARR_OR_SCALAR, Arr, Scalar
+
+
+def pmm(a: Arr, b: Arr) -> Arr:
+    """f32-exact matmul.
+
+    The default matmul precision rounds f32 operands to bf16 on the TPU MXU
+    (~4e-3 relative error) — never acceptable for physical tables or
+    geometry. Use for every small contraction on a compute path.
+    """
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 def principal_axes_to_euler_angles(x: Arr, y: Arr, z: Arr) -> tuple[Arr, Arr, Arr]:
