@@ -13,7 +13,6 @@ import time
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 sys.path.insert(0, "/root/repo")
 
@@ -35,6 +34,82 @@ def timeit(name, fn, *args):
     return dt / K
 
 
+def scan_k(fn):
+    def run(rows):
+        def step(carry, _):
+            out = fn(carry)
+            return carry + 0.0 * out.reshape(-1)[0], None
+
+        return jax.lax.scan(step, rows, None, length=K)[0]
+
+    return run
+
+
+def fwd_like(kernel_body, rows_rf, params_vec, ids_p, spec, ot):
+    def one(rows):
+        gt_pad = jnp.zeros((1, 8), jnp.float32)
+        in_specs, args, scratch = ot._pallas_args(rows, params_vec, ids_p, gt_pad, spec)
+        return pl.pallas_call(
+            ot._make_kernel(kernel_body, writes_rows=False, spec=spec),
+            out_shape=jax.ShapeDtypeStruct((1, 8), jnp.float32),
+            grid=(spec.nb_pad // spec.grid_g,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, 8), lambda s: (0, 0)),
+            scratch_shapes=scratch,
+            interpret=ot._interpret(),
+        )(*args)
+
+    return one
+
+
+def bench_spec(label, composed, body_soa, ids, spec_kind, ot):
+    rows_rf, params_vec, ids_p, spec, _ = ot.build_tile_inputs(
+        composed, body_soa, ids, BLOCK, kind=spec_kind
+    )
+    print(
+        f"[{label}] kind={spec.kind} q={spec.q} cap={spec.cap} grid_g={spec.grid_g} "
+        f"nb_pad={spec.nb_pad} panel={spec.panel} resident={spec.resident}"
+    )
+
+    timeit(f"{label} fwd kernel", scan_k(
+        lambda rows: ot._fwd_impl(rows, params_vec, ids_p, spec)), rows_rf)
+    gt = jnp.ones((ot._n_terms(spec),), jnp.float32)
+    timeit(f"{label} bwd rows kernel", scan_k(
+        lambda rows: ot._bwd_rows_impl(rows, params_vec, ids_p, gt, spec)), rows_rf)
+
+    # assembly-only: same grid/assembly, body = sum(panel)
+    def assembly_body(panel, rows_g, params, gtv, s):
+        val = jnp.sum(panel) + jnp.sum(rows_g)
+        return jnp.stack([val] + [jnp.zeros((), jnp.float32)] * 7)
+
+    timeit(f"{label} assembly-only", scan_k(
+        fwd_like(assembly_body, rows_rf, params_vec, ids_p, spec, ot)), rows_rf)
+
+    # per-term-group math cost: drop terms one at a time
+    n_terms = ot._n_terms(spec)
+    if n_terms > 1:
+        names = ["exc_vol", "hb", "cross", "coax", "debye"][:n_terms]
+
+        def body_subset(keep):
+            def body_fn(panel, rows_g, params, gtv, s):
+                rv = ot._Rows(rows_g, s)
+                mask = ot._tile_mask(rv, panel, s, triangular=True)
+                energies, _ = ot._tile_energies(rv, panel, params, s)
+                zero = jnp.zeros((), jnp.float32)
+                vals = [
+                    jnp.where(mask, energies[i], 0.0).sum() if i in keep else zero
+                    for i in range(len(energies))
+                ]
+                return jnp.stack(vals + [zero] * (8 - len(vals)))
+
+            return body_fn
+
+        for i, nm in enumerate(names):
+            keep = [j for j in range(n_terms) if j != i]
+            timeit(f"{label} fwd minus {nm}", scan_k(
+                fwd_like(body_subset(keep), rows_rf, params_vec, ids_p, spec, ot)), rows_rf)
+
+
 def main():
     from __graft_entry__ import _build_sim, _tiny_duplex
     from mythos_tpu import soa
@@ -49,135 +124,13 @@ def main():
     sym_ids = sim.neighbors.idx
     body_soa = soa.to_soa(body)
 
-    rows_rf, params_vec, ids_p, spec, _ = ot.build_tile_inputs(
-        updated, body_soa, sym_ids, BLOCK
-    )
-    print(f"n={topology.n_nucleotides} block={BLOCK} cap={spec.cap} "
-          f"grid_g={spec.grid_g} nb_pad={spec.nb_pad} resident={spec.resident}")
-
-    def scan_k(fn):
-        def run(rows):
-            def step(carry, _):
-                out = fn(carry)
-                return carry + 0.0 * out.reshape(-1)[0], None
-            return jax.lax.scan(step, rows, None, length=K)[0]
-        return run
-
-    # A. current full forward kernel
-    timeit("fwd kernel (full)", scan_k(
-        lambda rows: ot._fwd_impl(rows, params_vec, ids_p, spec)), rows_rf)
-
-    # B. backward rows kernel (the Langevin force path)
-    gt = jnp.ones((ot._n_terms(spec),), jnp.float32)
-    timeit("bwd rows kernel (full)", scan_k(
-        lambda rows: ot._bwd_rows_impl(rows, params_vec, ids_p, gt, spec)), rows_rf)
-
-    # C. assembly-only kernel: same grid/assembly, body = sum(panel)
-    def assembly_body(panel, rows_g, blk0, params, gtv, s):
-        val = jnp.sum(panel) + jnp.sum(rows_g)
-        return jnp.stack([val] + [jnp.zeros((), jnp.float32)] * 7)
-
-    def assembly_only(rows):
-        gt_pad = jnp.zeros((1, 8), jnp.float32)
-        in_specs, args, scratch = ot._pallas_args(rows, params_vec, ids_p, gt_pad, spec)
-        return pl.pallas_call(
-            ot._make_kernel(assembly_body, writes_rows=False, spec=spec),
-            out_shape=jax.ShapeDtypeStruct((1, 8), jnp.float32),
-            grid=(spec.nb_pad // spec.grid_g,),
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 8), lambda s: (0, 0)),
-            scratch_shapes=scratch,
-            interpret=ot._interpret(),
-        )(*args)
-
-    timeit("assembly-only kernel", scan_k(assembly_only), rows_rf)
-
-    # D. math-only: full energies on a statically-sliced panel (no table
-    # indexing, no per-slot dynamic slices; one static slice + transpose)
-    m = spec.panel
-
-    def static_panel_kernel(ids_ref, rows_ref, col_ref, p_ref, gt_ref, out_ref, scratch):
-        step = pl.program_id(0)
-        params = ot._unpack_params(p_ref, spec.params_treedef, spec.leaf_shapes)
-        gtv = gt_ref[0, :]
-
-        def body(g, sums):
-            panel = col_ref[0:m, :].T  # static slice + transpose
-            rows_g = rows_ref[pl.ds(g * spec.block_size, spec.block_size), :]
-            blk0 = jnp.asarray(step * spec.grid_g + g, jnp.float32) * spec.block_size
-            return sums + ot._fwd_kernel_body(panel, rows_g, blk0, params, gtv, spec)
-
-        sums = jax.lax.fori_loop(0, spec.grid_g, body, jnp.zeros((8,), jnp.float32))
-
-        @pl.when(step == 0)
-        def _():
-            out_ref[...] = jnp.zeros_like(out_ref)
-
-        out_ref[0, :] += sums
-
-    def math_only(rows):
-        gt_pad = jnp.zeros((1, 8), jnp.float32)
-        in_specs, args, scratch = ot._pallas_args(rows, params_vec, ids_p, gt_pad, spec)
-        return pl.pallas_call(
-            static_panel_kernel,
-            out_shape=jax.ShapeDtypeStruct((1, 8), jnp.float32),
-            grid=(spec.nb_pad // spec.grid_g,),
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 8), lambda s: (0, 0)),
-            scratch_shapes=scratch,
-            interpret=ot._interpret(),
-        )(*args)
-
-    timeit("math-only (static panel + transpose)", scan_k(math_only), rows_rf)
-
-    # D2. non-resident path: XLA gathers (nb, F, M) panels in HBM, the kernel
-    # pipelines them in -- no in-kernel assembly, no transpose
-    spec_nr = spec._replace(resident=False)
-    timeit("fwd kernel (XLA-gather panels)", scan_k(
-        lambda rows: ot._fwd_impl(rows, params_vec, ids_p, spec_nr)), rows_rf)
-    timeit("bwd rows kernel (XLA-gather panels)", scan_k(
-        lambda rows: ot._bwd_rows_impl(rows, params_vec, ids_p, gt, spec_nr)), rows_rf)
-
-    # D3. gather-only: materialize the panels, sum them (HBM gather cost)
-    def gather_only(rows):
-        return jnp.sum(ot._gather_cols(rows, ids_p, spec))
-
-    timeit("XLA panel gather alone", scan_k(gather_only), rows_rf)
-
-    # E. per-term-group math cost: drop terms one group at a time
-    import mythos_tpu.energy.dna1.terms as t1  # noqa: F401
-
-    def body_subset(keep):
-        def body_fn(panel, rows_g, blk0, params, gtv, s):
-            mask = ot._tile_mask(rows_g, panel, blk0, s, triangular=True)
-            energies, _ = ot._tile_energies(rows_g, panel, params, s)
-            zero = jnp.zeros((), jnp.float32)
-            vals = [
-                jnp.where(mask, energies[i], 0.0).sum() if i in keep else zero
-                for i in range(len(energies))
-            ]
-            return jnp.stack(vals + [zero] * (8 - len(vals)))
-        return body_fn
-
-    n_terms = ot._n_terms(spec)
-    names = ["exc_vol", "hb", "cross", "coax", "debye"][:n_terms]
-    for i, nm in enumerate(names):
-        keep = [j for j in range(n_terms) if j != i]
-
-        def one(rows, keep=keep):
-            gt_pad = jnp.zeros((1, 8), jnp.float32)
-            in_specs, args, scratch = ot._pallas_args(rows, params_vec, ids_p, gt_pad, spec)
-            return pl.pallas_call(
-                ot._make_kernel(body_subset(keep), writes_rows=False, spec=spec),
-                out_shape=jax.ShapeDtypeStruct((1, 8), jnp.float32),
-                grid=(spec.nb_pad // spec.grid_g,),
-                in_specs=in_specs,
-                out_specs=pl.BlockSpec((1, 8), lambda s: (0, 0)),
-                scratch_shapes=scratch,
-                interpret=ot._interpret(),
-            )(*args)
-
-        timeit(f"fwd minus {nm}", scan_k(one), rows_rf)
+    if isinstance(sym_ids, tuple):
+        ids_tight, ids_wide = sym_ids
+        bench_spec("short", updated, body_soa, ids_tight, "short", ot)
+        bench_spec("debye", updated, body_soa, ids_wide, "debye", ot)
+        bench_spec("full-on-wide", updated, body_soa, ids_wide, "full", ot)
+    else:
+        bench_spec("full", updated, body_soa, sym_ids, "full", ot)
 
 
 if __name__ == "__main__":

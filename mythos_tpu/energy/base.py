@@ -483,11 +483,22 @@ class ComposedEnergyFunction(EnergyFunction):
         from mythos_tpu.ops import oxdna_tiles
 
         nbl = self.map_neighbors
+        # prepared once, OUTSIDE the state map: packed params and static row
+        # fields would otherwise re-execute per state (XLA does not hoist
+        # out of loop bodies)
+        ctxs = oxdna_tiles.prepare_contexts(
+            self, nbl.idx, nbl.block_size, perm=getattr(nbl, "perm", None)
+        )
 
         def one(body: RigidBody) -> Scalar:
             bsoa = soa_mod.to_soa(body) if isinstance(body, RigidBody) else body
-            ids, _ = nbl.build(bsoa.center)
-            return oxdna_tiles.fused_energy_soa(self, bsoa, ids, nbl.block_size)
+            ids, ovf = nbl.build(bsoa.center)
+            e = oxdna_tiles.fused_energy_ctx(self, ctxs, bsoa, ids)
+            # a state whose block table overflowed capacity silently drops
+            # pairs; poison its energy so downstream reweighting fails loudly
+            # (the simulator path surfaces the same condition as
+            # neighbor_overflow metadata)
+            return jnp.where(ovf, jnp.nan, e)
 
         inner = jax.checkpoint(one) if self.map_checkpoint else one
         return jax.lax.map(inner, body_sequence)

@@ -159,6 +159,26 @@ def default_neighbor_cutoff(energy_fn: EnergyFunction | None = None) -> float:
     return max(cutoffs) + 2.0 * max_site_offset()
 
 
+def short_range_neighbor_cutoff() -> float:
+    """COM-distance cutoff over every unbonded term EXCEPT Debye-Hueckel.
+
+    Debye's salt-dependent cutoff is ~3x the short-range terms'; a two-level
+    block neighbor list (simulators/neighbors.py r_cutoff_inner) keeps the
+    expensive terms on a table sized by this value while Debye alone runs on
+    the wide one.
+    """
+    cutoffs = []
+    for cls, cfg in zip(default_energy_fns(), default_energy_configs(), strict=True):
+        if cls.__name__ == "Debye":
+            continue
+        probe = object.__new__(cls)
+        object.__setattr__(probe, "params", cfg.init_params())
+        c = probe.pair_cutoff()
+        if c is not None:
+            cutoffs.append(float(c))
+    return max(cutoffs) + 2.0 * max_site_offset()
+
+
 def create_default_energy_fn(
     topology: Topology,
     displacement_fn: callable = DEFAULT_DISPLACEMENT,

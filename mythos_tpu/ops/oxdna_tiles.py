@@ -72,6 +72,16 @@ N_FIELDS = 24
 #: row-gradient layout: com/a1/a2/a3 (symmetric mask) + hw (triangular mask)
 N_GRAD_FIELDS = 16
 
+#: slim field layout of the ``debye`` kind (the wide-cutoff Debye-Hueckel
+#: term only needs the backbone site and the end-charge factor)
+_DB_BACK = 0  # backbone interaction site       (3)
+_DB_QF = 3  # end-charge factor                 (1)
+_DB_PREV = 4
+_DB_NXT = 5
+_DB_GID = 6
+N_FIELDS_DEBYE = 8
+N_GRAD_FIELDS_DEBYE = 4  # back site + qf
+
 _BIG = 1e9  # invalid-gid marker (any value > max real id)
 
 #: above this many padded rows the resident (n_pad, F) VMEM array would
@@ -90,7 +100,19 @@ def _interpret() -> bool:
 
 
 class TileSpec(NamedTuple):
-    """Static configuration of the fused kernel (hashable)."""
+    """Static configuration of the fused kernel (hashable).
+
+    ``kind`` selects the term set and field layout:
+
+    * ``"full"``  -- all unbonded terms on one table (24 fields).
+    * ``"short"`` -- the short-cutoff terms (exc_vol/hb/cross/coax) on a
+      tight table; Debye runs separately on the wide table.
+    * ``"debye"`` -- Debye-Hueckel alone on the wide table (8 slim fields).
+
+    ``q`` packs that many row blocks into one 128-lane panel (each with
+    ``cap`` column-block slots): tiles stay full vector registers while the
+    per-row-block candidate count shrinks by q.
+    """
 
     block_size: int  # B: rows per block
     cap: int  # K: symmetric column-block slots per row block (padded)
@@ -104,14 +126,31 @@ class TileSpec(NamedTuple):
     params_treedef: object  # treedef of the packed params tuple
     leaf_shapes: tuple  # (("n", shape, size) | ("s", value, 0), ...) per leaf
     resident: bool  # in-kernel assembly (True) vs XLA gather panels
+    kind: str = "full"  # "full" | "short" | "debye"
+    q: int = 1  # row blocks sharing one panel
 
     @property
     def panel(self) -> int:
-        return self.cap * self.block_size
+        return self.q * self.cap * self.block_size
 
     @property
     def n_pad(self) -> int:
         return self.nb_pad * self.block_size
+
+    @property
+    def n_fields(self) -> int:
+        return N_FIELDS_DEBYE if self.kind == "debye" else N_FIELDS
+
+    @property
+    def n_grad_fields(self) -> int:
+        return N_GRAD_FIELDS_DEBYE if self.kind == "debye" else N_GRAD_FIELDS
+
+    @property
+    def id_offsets(self) -> tuple[int, int, int]:
+        """(gid, prev, nxt) field offsets for the mask."""
+        if self.kind == "debye":
+            return _DB_GID, _DB_PREV, _DB_NXT
+        return _GID, _PREV, _NXT
 
 
 def _is_numeric(leaf) -> bool:
@@ -169,6 +208,121 @@ def _vec(arr, off, take_rows: bool) -> Vec3:
     return Vec3(arr[off : off + 1, :], arr[off + 1 : off + 2, :], arr[off + 2 : off + 3, :])
 
 
+def _is_interleave2(perm: np.ndarray) -> bool:
+    """True for the canonical duplex interleave: perm[2i]=i, perm[2i+1]=N-1-i."""
+    n = perm.shape[0]
+    if n % 2:
+        return False
+    h = n // 2
+    return bool(
+        np.array_equal(perm[0::2], np.arange(h))
+        and np.array_equal(perm[1::2], n - 1 - np.arange(h))
+    )
+
+
+@jax.custom_vjp
+def _interleave2(x):
+    """Duplex-interleave reorder via pure vector ops (stack/reverse/reshape).
+
+    Equivalent to x[perm] for the strand_interleave_perm permutation, but
+    ~200x faster on TPU: XLA lowers 1D index gathers through scalar-memory
+    copies and a serial loop (~60 us per 10k-element gather), while this
+    form stays on the vector unit (~0.2 us).
+    """
+    h = x.shape[0] // 2
+    return jnp.stack([x[:h], x[h:][::-1]], axis=1).reshape(-1)
+
+
+def _interleave2_inv(y):
+    m = y.reshape(-1, 2)
+    return jnp.concatenate([m[:, 0], m[:, 1][::-1]])
+
+
+_interleave2.defvjp(lambda x: (_interleave2(x), None), lambda _res, g: (_interleave2_inv(g),))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _permute(x, perm: tuple, inv_perm: tuple):
+    """x[perm] with a gather-based vjp (generic fallback).
+
+    The autodiff transpose of a gather is a scatter-add, which XLA lowers
+    to a serialized loop on TPU; for a bijective permutation the transpose
+    is itself a gather by the inverse permutation. Structured permutations
+    (the duplex interleave) should use :func:`_interleave2` instead -- even
+    the forward 1D gather runs on the scalar core.
+    """
+    return x[jnp.asarray(np.asarray(perm))]
+
+
+def _permute_fwd(x, perm: tuple, inv_perm: tuple):
+    return _permute(x, perm, inv_perm), None
+
+
+def _permute_bwd(perm: tuple, inv_perm: tuple, _res, g):
+    return (g[jnp.asarray(np.asarray(inv_perm))],)
+
+
+_permute.defvjp(_permute_fwd, _permute_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _bcast_groups(col, q: int, w: int):
+    """(q*B, 1) row-field column -> (B, q*w) lane-group expansion.
+
+    Lane group k (width w) broadcasts row block k's (B, 1) values. The
+    custom vjp transposes via masked full-width lane reductions: the
+    autodiff default (lane slices at sub-vreg offsets + partial reduces)
+    lowers pathologically in Mosaic (~3x on the backward kernel).
+    """
+    b = col.shape[0] // q
+    return jnp.concatenate(
+        [jnp.broadcast_to(col[k * b : (k + 1) * b], (b, w)) for k in range(q)], axis=1
+    )
+
+
+def _bcast_groups_fwd(col, q: int, w: int):
+    return _bcast_groups(col, q, w), None
+
+
+def _bcast_groups_bwd(q: int, w: int, _res, g):
+    lane = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    parts = [
+        jnp.sum(
+            jnp.where((lane >= k * w) & (lane < (k + 1) * w), g, 0.0),
+            axis=1,
+            keepdims=True,
+        )
+        for k in range(q)
+    ]
+    return (jnp.concatenate(parts, axis=0),)
+
+
+_bcast_groups.defvjp(_bcast_groups_fwd, _bcast_groups_bwd)
+
+
+class _Rows:
+    """Row-field operands broadcastable against (1, M) column panels.
+
+    q == 1: thin (B, 1) slices (implicit lane broadcast, as in v2).
+    q > 1: lane-group-expanded (B, M) arrays -- lane group k (width M/q)
+    carries row block k's values, so one (B, M) tile evaluates q row blocks
+    against their own column slots in full vector registers.
+    """
+
+    def __init__(self, rows, spec: TileSpec):
+        self.rows = rows  # (q*B, F)
+        self.spec = spec
+
+    def field(self, off: int):
+        q = self.spec.q
+        if q == 1:
+            return self.rows[:, off : off + 1]
+        return _bcast_groups(self.rows[:, off : off + 1], q, self.spec.panel // q)
+
+    def vec3(self, off: int) -> Vec3:
+        return Vec3(self.field(off), self.field(off + 1), self.field(off + 2))
+
+
 def _disp(a, b):
     return a - b
 
@@ -192,18 +346,32 @@ def _r(v: Vec3):
     return jnp.sqrt(vdot(v, v) + 1e-18)
 
 
-def _tile_energies(rows, panel, params, spec: TileSpec):
-    """All unbonded term energies on one (B, M) tile panel.
+def _tile_energies(rows: "_Rows", panel, params, spec: TileSpec):
+    """All term energies on one (B, M) tile panel.
 
-    rows: (B, F) row fields; panel: (F, M) column fields. Returns
-    (energies, hb_prod): energies is a list of (B, M) arrays in term order
-    [exc_vol, hb, cross, coax, (debye)]; hb_prod is the weight-free
-    hydrogen-bonding product (for the triangular hw gradient).
-    Formula source: the same product functions as the XLA tile path
-    (energy/dna1/terms.py, energy/dna2/terms.py).
+    rows: _Rows accessor over the (q*B, F) row fields; panel: (F, M) column
+    fields. Returns (energies, hb_prod): energies is a list of (B, M)
+    arrays in term order [exc_vol, hb, cross, coax, (debye)] (or [debye]
+    for the slim kind); hb_prod is the weight-free hydrogen-bonding product
+    (for the triangular hw gradient). Formula source: the same product
+    functions as the XLA tile path (energy/dna1/terms.py,
+    energy/dna2/terms.py).
     """
     import mythos_tpu.energy.dna1.terms as t1
     from mythos_tpu.utils.math import arccos_poly
+
+    if spec.kind == "debye":
+        import mythos_tpu.energy.dna2.terms as t2
+
+        (p_debye,) = params
+        back_i = rows.vec3(_DB_BACK)
+        back_j = _vec(panel, _DB_BACK, False)
+        dgs = t2.debye_potential(
+            _r(_disp(back_j, back_i)),
+            p_debye.kappa, p_debye.prefactor, p_debye.smoothing_coeff, p_debye.r_cut, p_debye.r_high,
+        )
+        qf = rows.field(_DB_QF) * panel[_DB_QF : _DB_QF + 1, :]
+        return [dgs * qf], None
 
     def _bare(cls, prm):
         obj = object.__new__(cls)
@@ -216,7 +384,7 @@ def _tile_energies(rows, panel, params, spec: TileSpec):
         p_exc, p_hb, p_cross, p_coax = params
         p_debye = None
 
-    com_i, a1_i, a2_i, a3_i = (_vec(rows, o, True) for o in (_COM, _A1, _A2, _A3))
+    com_i, a1_i, a2_i, a3_i = (rows.vec3(o) for o in (_COM, _A1, _A2, _A3))
     com_j, a1_j, a2_j, a3_j = (_vec(panel, o, False) for o in (_COM, _A1, _A2, _A3))
     stack_i, back_i, base_i = _derive_sites(com_i, a1_i, a2_i, spec.geometry)
     stack_j, back_j, base_j = _derive_sites(com_j, a1_j, a2_j, spec.geometry)
@@ -237,11 +405,11 @@ def _tile_energies(rows, panel, params, spec: TileSpec):
         base_i, base_j, a1_i, a1_j, a3_i, a3_j, _disp, arccos=arccos_poly
     )
     hb_prod = _bare(t1.HydrogenBonding, p_hb).hb_product(g_ub)
-    hw_i = rows[:, _HW : _HW + 4]  # (B, 4)
-    oh_j = panel[_OH : _OH + 4, :]  # (4, M)
-    weight = jax.lax.dot(
-        hw_i, oh_j, precision=jax.lax.Precision.HIGHEST, preferred_element_type=rows.dtype
-    )
+    # hb weight = sum_k hw_i[k] * onehot_j[k], elementwise on the VPU (a
+    # K=4 MXU dot is slower and would mix lane groups when q > 1)
+    weight = 0.0
+    for k in range(4):
+        weight = weight + rows.field(_HW + k) * panel[_OH + k : _OH + k + 1, :]
     out.append(hb_prod * weight)
 
     out.append(_bare(t1.CrossStacking, p_cross).cross_product_term(g_ub))
@@ -278,14 +446,17 @@ def _tile_energies(rows, panel, params, spec: TileSpec):
         dgs = t2.debye_potential(
             r_bb, p_debye.kappa, p_debye.prefactor, p_debye.smoothing_coeff, p_debye.r_cut, p_debye.r_high
         )
-        qf = rows[:, _QF : _QF + 1] * panel[_QF : _QF + 1, :]
+        qf = rows.field(_QF) * panel[_QF : _QF + 1, :]
         out.append(dgs * qf)
 
     return out, hb_prod
 
 
-def _tile_mask(rows, panel, blk0, spec: TileSpec, *, triangular: bool):
+def _tile_mask(rows: "_Rows", panel, spec: TileSpec, *, triangular: bool):
     """(B, M) validity mask: no self, no bonded, real rows/cols only.
+
+    Row identity comes from the gid FIELD (not a recomputed block index),
+    so it is correct for any q and drops padded rows via their _BIG gid.
 
     ``triangular=True`` keeps only j > i: over a SYMMETRIC table that
     selects each unordered pair exactly once (used by the forward sums and
@@ -293,12 +464,11 @@ def _tile_mask(rows, panel, blk0, spec: TileSpec, *, triangular: bool):
     theta2/theta3-type pairs -- would otherwise be mixed). The row-side
     force gradient uses the full symmetric mask instead.
     """
-    b_sz = spec.block_size
-    # int32 iota then cast: Mosaic's tpu.iota is integer-only
-    ig = blk0 + jax.lax.broadcasted_iota(jnp.int32, (b_sz, 1), 0).astype(jnp.float32)
-    jg = panel[_GID : _GID + 1, :]  # (1, M); _BIG when padded
-    prev_i = rows[:, _PREV : _PREV + 1]
-    nxt_i = rows[:, _NXT : _NXT + 1]
+    gid_off, prev_off, nxt_off = spec.id_offsets
+    ig = rows.field(gid_off)
+    jg = panel[gid_off : gid_off + 1, :]  # (1, M); _BIG when padded
+    prev_i = rows.field(prev_off)
+    nxt_i = rows.field(nxt_off)
     keep = (jg > ig) if triangular else (jg != ig)
     return (
         keep
@@ -310,6 +480,8 @@ def _tile_mask(rows, panel, blk0, spec: TileSpec, *, triangular: bool):
 
 
 def _n_terms(spec: TileSpec) -> int:
+    if spec.kind == "debye":
+        return 1
     return 5 if spec.has_debye else 4
 
 
@@ -319,67 +491,103 @@ _HB_TERM = 1  # index of hydrogen bonding in the term order
 # Pallas kernels ---------------------------------------------------------------
 
 
-def _assemble_panel(ids_ref, g, src_ref, panel_rows, spec: TileSpec):
-    """Fill the (M, F) panel scratch from `cap` sublane slices of the
-    resident field array, then hand back the (F, M) transpose."""
+def _assemble_panel(ids_ref, g0, src_ref, panel_rows, spec: TileSpec):
+    """Fill the (M, F) panel scratch from the resident field array, then
+    hand back the (F, M) transpose.
+
+    The panel serves row blocks g0 .. g0+q-1 of this grid step: lane group
+    k holds row block g0+k's ``cap`` column-block slots as sublane slices.
+    """
     b_sz, nb = spec.block_size, spec.n_blocks
-    for k in range(spec.cap):
-        idk = ids_ref[g, k]
-        # invalid slots (>= n_blocks) clamp to the first PAD block: its rows
-        # carry gid = _BIG already, so the pair masks drop them without a
-        # per-slot branch (build_tile_inputs guarantees nb_pad > n_blocks)
-        safe = jnp.minimum(idk, nb) * b_sz
-        panel_rows[k * b_sz : (k + 1) * b_sz, :] = src_ref[pl.ds(safe, b_sz), :]
+    for qq in range(spec.q):
+        for k in range(spec.cap):
+            idk = ids_ref[g0 + qq, k]
+            # invalid slots (>= n_blocks) clamp to the first PAD block: its
+            # rows carry gid = _BIG already, so the pair masks drop them
+            # without a per-slot branch (build_tile_inputs guarantees
+            # nb_pad > n_blocks)
+            safe = jnp.minimum(idk, nb) * b_sz
+            s = (qq * spec.cap + k) * b_sz
+            panel_rows[s : s + b_sz, :] = src_ref[pl.ds(safe, b_sz), :]
 
     return panel_rows[...].T  # (F, M)
 
 
-def _fwd_kernel_body(panel, rows_g, blk0, params, gt, spec: TileSpec):
-    mask = _tile_mask(rows_g, panel, blk0, spec, triangular=True)
-    energies, _ = _tile_energies(rows_g, panel, params, spec)
+def _fwd_kernel_body(panel, rows_g, params, gt, spec: TileSpec):
+    rv = _Rows(rows_g, spec)
+    mask = _tile_mask(rv, panel, spec, triangular=True)
+    energies, _ = _tile_energies(rv, panel, params, spec)
     return jnp.stack([jnp.where(mask, e, 0.0).sum() for e in energies] + [0.0] * (8 - len(energies)))
 
 
-def _bwd_kernel_body(panel, rows_g, blk0, params, gt, spec: TileSpec):
-    """(B, N_GRAD_FIELDS) row-side gradients for one row block."""
-    oh_j = panel[_OH : _OH + 4, :]
+def _lane_group_mask(spec: TileSpec, qq: int):
+    """(1, M) mask of lane group qq (row block qq's slots in the panel)."""
+    w = spec.panel // spec.q
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, spec.panel), 1)
+    return (lane >= qq * w) & (lane < (qq + 1) * w)
+
+
+def _bwd_kernel_body(panel, rows_g, params, gt, spec: TileSpec):
+    """(q*B, n_grad_fields) row-side gradients for q row blocks."""
 
     def total(rows_in):
-        # hw enters only row-side in the triangular forward; stop its
-        # symmetric-mask gradient here and differentiate it under the
-        # triangular mask below (the symmetric shortcut would double it)
-        rows_sg = jnp.concatenate(
-            [
-                rows_in[:, :_HW],
-                jax.lax.stop_gradient(rows_in[:, _HW : _HW + 4]),
-                rows_in[:, _HW + 4 :],
-            ],
-            axis=1,
-        )
-        mask = _tile_mask(rows_sg, panel, blk0, spec, triangular=False)
-        energies, hb_prod = _tile_energies(rows_sg, panel, params, spec)
+        if spec.kind == "debye":
+            rows_sg = rows_in
+        else:
+            # hw enters only row-side in the triangular forward; stop its
+            # symmetric-mask gradient here and differentiate it under the
+            # triangular mask below (the symmetric shortcut would double it)
+            rows_sg = jnp.concatenate(
+                [
+                    rows_in[:, :_HW],
+                    jax.lax.stop_gradient(rows_in[:, _HW : _HW + 4]),
+                    rows_in[:, _HW + 4 :],
+                ],
+                axis=1,
+            )
+        rv = _Rows(rows_sg, spec)
+        mask = _tile_mask(rv, panel, spec, triangular=False)
+        energies, hb_prod = _tile_energies(rv, panel, params, spec)
         tot = 0.0
         for t, e in enumerate(energies):
             tot = tot + gt[t] * jnp.where(mask, e, 0.0).sum()
-        mask_tri = _tile_mask(rows_in, panel, blk0, spec, triangular=True)
+        if spec.kind == "debye":
+            return tot, jnp.zeros_like(energies[0])
+        mask_tri = _tile_mask(_Rows(rows_in, spec), panel, spec, triangular=True)
         return tot, jnp.where(mask_tri, hb_prod, 0.0)
 
     (_, hb_tri), g_rows = jax.value_and_grad(total, has_aux=True)(rows_g)
-    g_hw = gt[_HB_TERM] * jax.lax.dot(
-        hb_tri, oh_j.T, precision=jax.lax.Precision.HIGHEST, preferred_element_type=rows_g.dtype
-    )
+    if spec.kind == "debye":
+        return g_rows[:, : spec.n_grad_fields]
+
+    oh_j = panel[_OH : _OH + 4, :]
+    if spec.q == 1:
+        g_hw = gt[_HB_TERM] * jax.lax.dot(
+            hb_tri, oh_j.T, precision=jax.lax.Precision.HIGHEST, preferred_element_type=rows_g.dtype
+        )
+    else:
+        # hb_tri is (B, M): sublane r + lane group qq = row r of row block
+        # qq. Each block's hw gradient sums only its own lane group.
+        parts = []
+        for qq in range(spec.q):
+            masked = jnp.where(_lane_group_mask(spec, qq), hb_tri, 0.0)
+            parts.append(
+                jax.lax.dot(masked, oh_j.T, precision=jax.lax.Precision.HIGHEST, preferred_element_type=rows_g.dtype)
+            )
+        g_hw = gt[_HB_TERM] * jnp.concatenate(parts, axis=0)
     return jnp.concatenate([g_rows[:, :_HW], g_hw], axis=1)
 
 
 def _make_kernel(body_fn, writes_rows: bool, spec: TileSpec):
-    """Kernel over G row blocks per grid step.
+    """Kernel over G row blocks (G/q panel groups) per grid step.
 
     Inputs: ids (G, cap) in SMEM, row blocks (G*B, F), the column source
-    (resident (n_pad, F) array, or pre-gathered (G, F, M) panels), packed
+    (resident (n_pad, F) array, or pre-gathered (G/q, F, M) panels), packed
     params (1, P), gt (1, 8) cotangents. Output: per-term sums (1, 8)
-    accumulated across the grid, or (G*B, N_GRAD_FIELDS) row gradients.
+    accumulated across the grid, or (G*B, n_grad_fields) row gradients.
     """
-    b_sz, g_blocks = spec.block_size, spec.grid_g
+    b_sz, q = spec.block_size, spec.q
+    n_groups = spec.grid_g // q
 
     def kernel(ids_ref, rows_ref, col_ref, p_ref, gt_ref, out_ref, panel_scratch):
         step = pl.program_id(0)
@@ -390,30 +598,28 @@ def _make_kernel(body_fn, writes_rows: bool, spec: TileSpec):
 
             def body(g, carry):
                 if spec.resident:
-                    panel = _assemble_panel(ids_ref, g, col_ref, panel_scratch, spec)
+                    panel = _assemble_panel(ids_ref, g * q, col_ref, panel_scratch, spec)
                 else:
                     panel = col_ref[g]
-                rows_g = rows_ref[pl.ds(g * b_sz, b_sz), :]
-                blk0 = jnp.asarray(step * g_blocks * b_sz + g * b_sz, jnp.float32)
-                out_ref[pl.ds(g * b_sz, b_sz), :] = body_fn(
-                    panel, rows_g, blk0, params, gt, spec
+                rows_g = rows_ref[pl.ds(g * q * b_sz, q * b_sz), :]
+                out_ref[pl.ds(g * q * b_sz, q * b_sz), :] = body_fn(
+                    panel, rows_g, params, gt, spec
                 )
                 return carry
 
-            jax.lax.fori_loop(0, g_blocks, body, 0)
+            jax.lax.fori_loop(0, n_groups, body, 0)
         else:
 
             def body(g, sums):
                 if spec.resident:
-                    panel = _assemble_panel(ids_ref, g, col_ref, panel_scratch, spec)
+                    panel = _assemble_panel(ids_ref, g * q, col_ref, panel_scratch, spec)
                 else:
                     panel = col_ref[g]
-                rows_g = rows_ref[pl.ds(g * b_sz, b_sz), :]
-                blk0 = jnp.asarray(step * g_blocks * b_sz + g * b_sz, jnp.float32)
-                return sums + body_fn(panel, rows_g, blk0, params, gt, spec)
+                rows_g = rows_ref[pl.ds(g * q * b_sz, q * b_sz), :]
+                return sums + body_fn(panel, rows_g, params, gt, spec)
 
             sums = jax.lax.fori_loop(
-                0, g_blocks, body, jnp.zeros((8,), jnp.float32)
+                0, n_groups, body, jnp.zeros((8,), jnp.float32)
             )
 
             @pl.when(step == 0)
@@ -427,24 +633,24 @@ def _make_kernel(body_fn, writes_rows: bool, spec: TileSpec):
 
 def _pallas_args(rows_rf, params_vec, sym_ids, gt_pad, spec: TileSpec):
     """Common in_specs + inputs for both kernels."""
-    b_sz, g_blocks, m = spec.block_size, spec.grid_g, spec.panel
+    b_sz, g_blocks, m, f = spec.block_size, spec.grid_g, spec.panel, spec.n_fields
     p = params_vec.shape[-1]
     in_specs = [
         pl.BlockSpec((g_blocks, spec.cap), lambda s: (s, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((g_blocks * b_sz, N_FIELDS), lambda s: (s, 0)),
+        pl.BlockSpec((g_blocks * b_sz, f), lambda s: (s, 0)),
     ]
     if spec.resident:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # whole array
         col_arg = rows_rf
     else:
-        in_specs.append(pl.BlockSpec((g_blocks, N_FIELDS, m), lambda s: (s, 0, 0)))
+        in_specs.append(pl.BlockSpec((g_blocks // spec.q, f, m), lambda s: (s, 0, 0)))
         col_arg = _gather_cols(rows_rf, sym_ids, spec)
     in_specs += [
         pl.BlockSpec((1, p), lambda s: (0, 0)),
         pl.BlockSpec((1, 8), lambda s: (0, 0)),
     ]
     args = (sym_ids, rows_rf, col_arg, params_vec, gt_pad)
-    scratch = [pltpu.VMEM((m, N_FIELDS), jnp.float32)]
+    scratch = [pltpu.VMEM((m, f), jnp.float32)]
     return in_specs, args, scratch
 
 
@@ -471,11 +677,11 @@ def _bwd_rows_impl(rows_rf, params_vec, sym_ids, gt, spec: TileSpec):
     in_specs, args, scratch = _pallas_args(rows_rf, params_vec, sym_ids, gt_pad, spec)
     return pl.pallas_call(
         _make_kernel(_bwd_kernel_body, writes_rows=True, spec=spec),
-        out_shape=jax.ShapeDtypeStruct((spec.n_pad, N_GRAD_FIELDS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((spec.n_pad, spec.n_grad_fields), jnp.float32),
         grid=(spec.nb_pad // spec.grid_g,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (spec.grid_g * spec.block_size, N_GRAD_FIELDS), lambda s: (s, 0)
+            (spec.grid_g * spec.block_size, spec.n_grad_fields), lambda s: (s, 0)
         ),
         scratch_shapes=scratch,
         interpret=_interpret(),
@@ -494,20 +700,22 @@ def _bwd_impl(rows_rf, params_vec, sym_ids, gt, spec: TileSpec):
 
 
 def _gather_cols(rows_rf: Arr, sym_ids: Arr, spec: TileSpec) -> Arr:
-    """(nb_pad, F, M) column panels gathered in XLA (fallback + params path).
+    """(nb_pad/q, F, M) column panels gathered in XLA (fallback + params
+    path); q consecutive row blocks share one panel as lane groups.
 
     The gid field of invalid slots is overridden with _BIG so the masks drop
     them (the clamped gather pulls real rows whose gids would otherwise
     alias)."""
     nb, cap = sym_ids.shape
-    b_sz = spec.block_size
+    b_sz, f = spec.block_size, spec.n_fields
+    gid_off = spec.id_offsets[0]
     safe = jnp.minimum(sym_ids, spec.n_blocks - 1)
-    rows_b = rows_rf.reshape(spec.nb_pad, b_sz, N_FIELDS)
+    rows_b = rows_rf.reshape(spec.nb_pad, b_sz, f)
     cols = rows_b[safe]  # (nb_pad, cap, B, F)
     invalid = (sym_ids >= spec.n_blocks)[:, :, None, None]
-    gid_mask = jnp.arange(N_FIELDS)[None, None, None, :] == _GID
+    gid_mask = jnp.arange(f)[None, None, None, :] == gid_off
     cols = jnp.where(invalid & gid_mask, _BIG, cols)
-    return cols.reshape(nb, cap * b_sz, N_FIELDS).transpose(0, 2, 1)  # (nb, F, M)
+    return cols.reshape(nb // spec.q, spec.q * cap * b_sz, f).transpose(0, 2, 1)
 
 
 def _params_grad_xla(rows_rf, params_vec, sym_ids, gt, spec: TileSpec):
@@ -520,21 +728,23 @@ def _params_grad_xla(rows_rf, params_vec, sym_ids, gt, spec: TileSpec):
     exactly once (a symmetric sum would mix theta2/theta3-type asymmetric
     pairs).
     """
-    nb, b_sz = spec.nb_pad, spec.block_size
-    rows_b = rows_rf.reshape(nb, b_sz, N_FIELDS)
-    cols = _gather_cols(rows_rf, sym_ids, spec)
-    blk0s = (jnp.arange(nb) * b_sz).astype(jnp.float32)
+    spec1 = spec._replace(q=1)  # per-row-block tiles; q-packing is a
+    # kernel-side lane optimization with no effect on the parameter sums
+    nb, b_sz = spec1.nb_pad, spec1.block_size
+    rows_b = rows_rf.reshape(nb, b_sz, spec1.n_fields)
+    cols = _gather_cols(rows_rf, sym_ids, spec1)
 
     def total(p_vec):
-        params = _unpack_params(p_vec, spec.params_treedef, spec.leaf_shapes)
+        params = _unpack_params(p_vec, spec1.params_treedef, spec1.leaf_shapes)
 
-        def blk(rows_blk, cols_blk, blk0):
-            mask = _tile_mask(rows_blk, cols_blk, blk0, spec, triangular=True)
-            energies, _ = _tile_energies(rows_blk, cols_blk, params, spec)
+        def blk(rows_blk, cols_blk):
+            rv = _Rows(rows_blk, spec1)
+            mask = _tile_mask(rv, cols_blk, spec1, triangular=True)
+            energies, _ = _tile_energies(rv, cols_blk, params, spec1)
             return jnp.stack([jnp.where(mask, e, 0.0).sum() for e in energies])
 
-        sums = jax.vmap(blk)(rows_b, cols, blk0s)
-        return jnp.dot(gt, jnp.sum(sums, axis=0))
+        sums = jax.vmap(blk)(rows_b, cols)
+        return jnp.sum(gt[: _n_terms(spec1)] * jnp.sum(sums, axis=0))
 
     return jax.grad(total)(params_vec)
 
@@ -566,7 +776,7 @@ def _vjp_fwd(rows_rf, params_vec, sym_ids, spec):
 def _vjp_bwd(spec, residuals, gt):
     rows_rf, params_vec, sym_ids = residuals
     g_rows, g_p = _bwd_impl(rows_rf, params_vec, sym_ids, gt, spec)
-    pad = jnp.zeros((rows_rf.shape[0], N_FIELDS - N_GRAD_FIELDS), rows_rf.dtype)
+    pad = jnp.zeros((rows_rf.shape[0], spec.n_fields - spec.n_grad_fields), rows_rf.dtype)
     return jnp.concatenate([g_rows, pad], axis=1), g_p, None
 
 
@@ -631,61 +841,121 @@ def _geometry_of(first) -> tuple:
         raise ValueError(ERR_TRANSFORM.format(fn)) from exc
 
 
-def _pick_grid_g(nb: int, block_size: int) -> tuple[int, int]:
+def _pick_q(cap: int, block_size: int) -> tuple[int, int]:
+    """(q, padded cap): the largest row-block packing with S = 128/(B*q)
+    slots per block still >= cap, so panels stay exactly one vreg wide.
+    Falls back to q=1 with cap padded to a multiple of the 128-lane quantum
+    when cap alone exceeds it."""
+    for q in (16, 8, 4, 2):
+        if block_size * q > 128:
+            continue
+        s = 128 // (block_size * q)
+        if s * block_size * q == 128 and s >= cap:
+            return q, s
+    cap_pad = cap
+    while (cap_pad * block_size) % 128:
+        cap_pad += 1
+    return 1, cap_pad
+
+
+def _pick_grid_g(nb: int, block_size: int, q: int = 1) -> tuple[int, int]:
     """(grid_g, nb_pad): amortize per-grid-step costs over ~64 row blocks.
 
-    Always pads at least one block past nb: the kernel's panel assembly
-    clamps invalid slot ids onto the first pad block (whose gid field is
-    poisoned) instead of branching per slot."""
-    g = min(nb, max(1, 512 // block_size))
+    grid_g is a multiple of q (whole panel groups per grid step). Always
+    pads at least one block past nb: the kernel's panel assembly clamps
+    invalid slot ids onto the first pad block (whose gid field is poisoned)
+    instead of branching per slot."""
+    if nb <= max(1, 512 // block_size):
+        # single grid step: keep block shape == array shape (Mosaic's
+        # divisibility exemption) by growing the step with the pad block
+        g = nb_pad = -(-(nb + 1) // q) * q
+        return g, nb_pad
+    g = max(q, (max(1, 512 // block_size) // q) * q)
     nb_pad = -(-nb // g) * g
     if nb_pad == nb:
-        if nb <= g:
-            # single grid step: keep block shape == array shape (Mosaic's
-            # divisibility exemption) by growing the step with the pad block
-            g = nb_pad = nb + 1
-        else:
-            nb_pad += g
+        nb_pad += g
     return g, nb_pad
 
 
-def build_tile_inputs(composed, body_soa, sym_ids, block_size: int):
-    """(rows_rf, params_vec, sym_ids_padded, spec, unbonded_idx) for the
-    fused kernels; shared by fused_energy_soa and diagnostics."""
+class TileContext(NamedTuple):
+    """Loop-invariant inputs of the fused kernels, prepared once per run.
+
+    XLA does not hoist code out of while-loop bodies and its constant
+    folding is budget-limited, so parameter packing, the bonded-partner
+    table, one-hot/hb-weight fields and padding (~500 us of tiny ops at 10k
+    nt) must be computed OUTSIDE the stepping scan and flow in as
+    loop-invariant values. ``dynamic_rows`` then assembles the per-step
+    (n_pad, F) rows array from the body state + ``static_tail``.
+    """
+
+    spec: TileSpec
+    params_vec: Arr  # (1, P) packed term parameters
+    static_tail: Arr  # (n_pad, F - n_dynamic) body-independent fields
+    unbonded: tuple  # ((composed index, term), ...)
+    perm_t: tuple | None  # perm as a hashable tuple (None = identity)
+    inv_t: tuple | None
+    perm_kind: str | None = None  # "interleave2" (vector ops) | "generic"
+
+    def apply_perm(self, c):
+        if self.perm_kind == "interleave2":
+            return _interleave2(c)
+        return _permute(c, self.perm_t, self.inv_t)
+
+
+def prepare_tile_context(
+    composed, sym_ids, block_size: int, kind: str = "full", perm=None
+) -> TileContext:
+    """Build the loop-invariant TileContext for one block table.
+
+    ``kind``: "full" evaluates every unbonded term over one table; "short"
+    drops Debye (whose wide cutoff would otherwise inflate the table);
+    "debye" packs the slim Debye-only layout for the wide table.
+
+    ``perm`` (static (N,) int array, perm[slot] = original index) reorders
+    nucleotides into a spatially coherent layout before blocking -- e.g.
+    strand-interleaving a duplex halves block AABB extents, shrinking the
+    table caps (simulators/neighbors.strand_interleave_perm). The sym_ids
+    table must be built over the SAME permutation; gradients scatter back
+    to the original order through the rows-build vjp automatically.
+    """
     from mythos_tpu.energy import blocks
-    from mythos_tpu.soa import quat_frame_soa
 
     if jax.config.jax_enable_x64:
         raise ValueError(ERR_X64)
     by_name = {type(fn).__name__: (i, fn) for i, fn in enumerate(composed.energy_fns)}
-    unbonded = [by_name[nm] for nm in _UNBONDED_ORDER if nm in by_name]
+    order = _UNBONDED_ORDER
+    if kind == "short":
+        order = tuple(nm for nm in order if nm != "Debye")
+    elif kind == "debye":
+        order = ("Debye",)
+    unbonded = tuple(by_name[nm] for nm in order if nm in by_name)
     terms = [fn for _, fn in unbonded]
     for fn in terms:
         if type(fn).__module__ not in _SUPPORTED_MODULES:
             raise ValueError(ERR_UNSUPPORTED_MODEL.format(type(fn).__module__))
-    has_debye = any(type(fn).__name__ == "Debye" for fn in terms)
+    has_debye = kind != "short" and any(type(fn).__name__ == "Debye" for fn in terms)
     coax_variant = "dna1"
     for fn in terms:
         if type(fn).__name__ == "CoaxialStacking":
             coax_variant = "dna2" if type(fn).__module__.endswith("dna2.terms") else "dna1"
 
+    # geometry offsets come from a term carrying the transform partial;
+    # the Debye term has one too (it binds the same transform_soa_fn)
     first = terms[0]
     seq = jnp.asarray(first.seq)
     n = seq.shape[0]
+    inv_perm = None
+    if perm is not None:
+        perm = np.asarray(perm)  # static: baked into the compiled gathers
+        inv_perm = np.argsort(perm)
+        seq = seq[perm]
     nb, cap = sym_ids.shape
-    # pad cap so the panel is a multiple of 128 lanes (vreg width)
-    while (cap * block_size) % 128:
-        cap += 1
-    grid_g, nb_pad = _pick_grid_g(nb, block_size)
-    if cap != sym_ids.shape[1] or nb_pad != nb:
-        sym_ids = jnp.pad(
-            sym_ids,
-            ((0, nb_pad - nb), (0, cap - sym_ids.shape[1])),
-            constant_values=nb,
-        )
+    q, cap = _pick_q(cap, block_size)
+    grid_g, nb_pad = _pick_grid_g(nb, block_size, q)
     n_pad = nb_pad * block_size
 
     params_vec, (treedef, leaf_shapes) = pack_params([fn.params for fn in terms])
+    geometry = _geometry_of(first)
     spec = TileSpec(
         block_size=block_size,
         cap=cap,
@@ -695,60 +965,154 @@ def build_tile_inputs(composed, body_soa, sym_ids, block_size: int):
         grid_g=grid_g,
         has_debye=has_debye,
         coax_variant=coax_variant,
-        geometry=_geometry_of(first),
+        geometry=geometry,
         params_treedef=treedef,
         leaf_shapes=leaf_shapes,
         resident=n_pad <= _RESIDENT_MAX_ROWS,
+        kind=kind,
+        q=q,
     )
 
-    # packed row fields
-    hb = next(fn for fn in terms if type(fn).__name__ == "HydrogenBonding")
-    oh = jax.nn.one_hot(seq, 4, dtype=jnp.float32)
-    hw = jnp.dot(oh, hb.params.eps_hb_weights.astype(jnp.float32), precision=jax.lax.Precision.HIGHEST)
-    if has_debye:
-        debye = next(fn for fn in terms if type(fn).__name__ == "Debye")
+    bonded = np.asarray(first.bonded_neighbors)
+    if perm is not None and bonded.size:
+        bonded = inv_perm[bonded]  # bonded pairs in permuted slots
+    prev, nxt = blocks.bonded_partner_table(n_pad, bonded)
+    gid = jnp.where(jnp.arange(n_pad) < n, jnp.arange(n_pad), _BIG).astype(jnp.float32)
+    pad = n_pad - n
+
+    def _qf_of(debye):
         is_end = jnp.asarray(debye.is_end)
-        qf = jnp.where(
+        if perm is not None:
+            is_end = is_end[perm]
+        return jnp.where(
             jnp.asarray(debye.params.half_charged_ends, bool),
             jnp.where(is_end.astype(bool), 0.5, 1.0),
             1.0,
-        )
+        ) * jnp.ones((n,), jnp.float32)
+
+    if kind == "debye":
+        tail = [jnp.pad(_qf_of(terms[0]), (0, pad))]
+        tail += [prev.astype(jnp.float32), nxt.astype(jnp.float32), gid]
+        tail += [jnp.zeros((n_pad,), jnp.float32)] * (N_FIELDS_DEBYE - 3 - len(tail))
     else:
-        qf = jnp.ones((n,), jnp.float32)
-    prev, nxt = blocks.bonded_partner_table(n_pad, first.bonded_neighbors)
-    gid = jnp.where(jnp.arange(n_pad) < n, jnp.arange(n_pad), _BIG).astype(jnp.float32)
+        hb = next(fn for fn in terms if type(fn).__name__ == "HydrogenBonding")
+        oh = jax.nn.one_hot(seq, 4, dtype=jnp.float32)
+        hw = jnp.dot(
+            oh,
+            hb.params.eps_hb_weights.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if has_debye:
+            qf = _qf_of(next(fn for fn in terms if type(fn).__name__ == "Debye"))
+        else:
+            qf = jnp.ones((n,), jnp.float32)
+        cols = [hw[:, k] for k in range(4)] + [oh[:, k] for k in range(4)] + [qf]
+        tail = [jnp.pad(c.astype(jnp.float32), (0, pad)) for c in cols]
+        tail += [prev.astype(jnp.float32), nxt.astype(jnp.float32), gid]
 
-    com = body_soa.center
-    a1, a2, a3 = quat_frame_soa(body_soa.orientation)
-    cols = (
-        [com.x, com.y, com.z]
-        + [a1.x, a1.y, a1.z, a2.x, a2.y, a2.z, a3.x, a3.y, a3.z]
-        + [hw[:, k] for k in range(4)]
-        + [oh[:, k] for k in range(4)]
-        + [qf]
+    perm_kind = None
+    if perm is not None:
+        perm_kind = "interleave2" if _is_interleave2(perm) else "generic"
+    return TileContext(
+        spec=spec,
+        params_vec=params_vec,
+        static_tail=jnp.stack(tail, axis=-1),
+        unbonded=unbonded,
+        perm_t=None if perm is None else tuple(perm.tolist()),
+        inv_t=None if perm is None else tuple(inv_perm.tolist()),
+        perm_kind=perm_kind,
     )
-    pad = n_pad - n
-    stacked = [jnp.pad(c.astype(jnp.float32), (0, pad)) for c in cols]
-    stacked.append(prev.astype(jnp.float32))
-    stacked.append(nxt.astype(jnp.float32))
-    stacked.append(gid)
-    stacked += [jnp.zeros((n_pad,), jnp.float32)] * (N_FIELDS - len(stacked))
-    rows_rf = jnp.stack(stacked, axis=-1)  # (n_pad, N_FIELDS)
-    return rows_rf, params_vec, sym_ids, spec, unbonded
 
 
-def fused_energy_soa(composed, body_soa, sym_ids, block_size: int):
-    """Total SoA energy with the unbonded terms on the Pallas tile kernels.
+def pad_ids(spec: TileSpec, sym_ids: Arr) -> Arr:
+    """Pad a raw (n_blocks, capacity) table to the spec's (nb_pad, cap)."""
+    nb, cap = sym_ids.shape
+    if cap == spec.cap and nb == spec.nb_pad:
+        return sym_ids
+    return jnp.pad(
+        sym_ids,
+        ((0, spec.nb_pad - nb), (0, spec.cap - cap)),
+        constant_values=spec.n_blocks,
+    )
+
+
+def dynamic_rows(ctx: TileContext, body_soa) -> Arr:
+    """Per-step (n_pad, F) rows array: body-dependent fields + static tail."""
+    from mythos_tpu.soa import quat_frame_soa
+
+    spec = ctx.spec
+    pad = spec.n_pad - spec.n
+    com = body_soa.center
+    quat = body_soa.orientation
+    if ctx.perm_t is not None:
+        # permute state components before deriving frames (7 arrays, not
+        # 12); apply_perm keeps both directions on the vector unit
+        com = Vec3(*(ctx.apply_perm(c) for c in com))
+        quat = type(quat)(*(ctx.apply_perm(c) for c in quat))
+    a1, a2, a3 = quat_frame_soa(quat)
+
+    if spec.kind == "debye":
+        variant, offs = spec.geometry
+        if variant == "dna2":
+            bx, by = offs[0], offs[1]
+            back = Vec3(
+                com.x + bx * a1.x + by * a2.x,
+                com.y + bx * a1.y + by * a2.y,
+                com.z + bx * a1.z + by * a2.z,
+            )
+        else:
+            bb = offs[0]
+            back = Vec3(com.x + bb * a1.x, com.y + bb * a1.y, com.z + bb * a1.z)
+        dyn = [back.x, back.y, back.z]
+    else:
+        dyn = [com.x, com.y, com.z,
+               a1.x, a1.y, a1.z, a2.x, a2.y, a2.z, a3.x, a3.y, a3.z]
+    dyn_stack = jnp.stack([jnp.pad(c.astype(jnp.float32), (0, pad)) for c in dyn], axis=-1)
+    return jnp.concatenate([dyn_stack, ctx.static_tail], axis=1)
+
+
+def build_tile_inputs(
+    composed, body_soa, sym_ids, block_size: int, kind: str = "full", perm=None
+):
+    """(rows_rf, params_vec, sym_ids_padded, spec, unbonded) for the fused
+    kernels; one-shot wrapper over prepare_tile_context/dynamic_rows (hot
+    loops should prepare once and call dynamic_rows per step instead)."""
+    ctx = prepare_tile_context(composed, sym_ids, block_size, kind, perm)
+    rows_rf = dynamic_rows(ctx, body_soa)
+    return rows_rf, ctx.params_vec, pad_ids(ctx.spec, sym_ids), ctx.spec, ctx.unbonded
+
+
+def prepare_contexts(composed, sym_ids, block_size: int, perm=None) -> tuple:
+    """TileContexts for one table ("full") or a (tight, wide) pair
+    ("short" + "debye"). Call ONCE per run, outside any stepping scan."""
+    if isinstance(sym_ids, (tuple, list)):
+        return (
+            prepare_tile_context(composed, sym_ids[0], block_size, "short", perm),
+            prepare_tile_context(composed, sym_ids[1], block_size, "debye", perm),
+        )
+    return (prepare_tile_context(composed, sym_ids, block_size, "full", perm),)
+
+
+def _as_tables(sym_ids) -> tuple:
+    return tuple(sym_ids) if isinstance(sym_ids, (tuple, list)) else (sym_ids,)
+
+
+def fused_energy_ctx(composed, ctxs: tuple, body_soa, sym_ids):
+    """Total SoA energy from prepared contexts (the hot-loop entry).
 
     ``composed`` must already carry updated params (with_params applied).
     Bonded terms evaluate on the (cheap) XLA shift path; the unbonded group
     runs through :func:`unbonded_tile_energies`. Weighted like
     ``ComposedEnergyFunction.__call__``.
     """
-    rows_rf, params_vec, sym_ids, spec, unbonded = build_tile_inputs(
-        composed, body_soa, sym_ids, block_size
-    )
-    per_term = unbonded_tile_energies(rows_rf, params_vec, sym_ids, spec)
+    per_term: list = []
+    unbonded: tuple = ()
+    for ctx, ids in zip(ctxs, _as_tables(sym_ids), strict=True):
+        rows = dynamic_rows(ctx, body_soa)
+        per_term += list(
+            unbonded_tile_energies(rows, ctx.params_vec, pad_ids(ctx.spec, ids), ctx.spec)
+        )
+        unbonded = unbonded + ctx.unbonded
 
     first = unbonded[0][1]
     nuc = first.transform_soa_fn(body_soa)
@@ -767,39 +1131,57 @@ def fused_energy_soa(composed, body_soa, sym_ids, block_size: int):
     return total
 
 
-def fused_grads_soa(composed, body_soa, sym_ids, block_size: int):
-    """d(total SoA energy)/d(body) without evaluating the energy.
+def fused_energy_soa(composed, body_soa, sym_ids, block_size: int, perm=None):
+    """One-shot wrapper: prepare contexts + fused_energy_ctx.
 
-    ``jax.grad(fused_energy_soa)`` pays the forward Pallas kernel (the
+    ``sym_ids`` may be one symmetric block table, or a (tight, wide) pair
+    from a two-level neighbor list: the short-cutoff terms then run on the
+    tight table and Debye alone on the wide one (its ~3x larger cutoff
+    would otherwise size the whole table). Hot loops should call
+    :func:`prepare_contexts` once and :func:`fused_energy_ctx` per step --
+    XLA re-executes the loop-invariant preparation on every iteration
+    otherwise (no hoisting out of while-loop bodies).
+    """
+    return fused_energy_ctx(
+        composed, prepare_contexts(composed, sym_ids, block_size, perm), body_soa, sym_ids
+    )
+
+
+def fused_grads_ctx(composed, ctxs: tuple, body_soa, sym_ids):
+    """d(total SoA energy)/d(body) from prepared contexts (hot-loop entry).
+
+    ``jax.grad(fused_energy_ctx)`` pays the forward Pallas kernel (the
     custom-vjp primal) only to discard its value; the Langevin hot loop
     consumes forces alone. This runs the backward rows kernel directly with
     the term weights as cotangents and transposes the row-field packing back
     to the body via one XLA vjp, roughly halving the per-step kernel cost.
     Returns a BodySoA-shaped cotangent (same pytree as
-    ``jax.grad(fused_energy_soa)(body_soa)``).
+    ``jax.grad(fused_energy_ctx)(body_soa)``).
     """
+    w = composed.weights
 
-    # the non-row outputs (params_vec/ids/spec/term objects) must not pass
-    # through the vjp: energy-fn dataclasses are not tree-transparent (their
-    # __post_init__ takes a topology InitVar). They don't depend on the body,
-    # so fetch them from a separate call; under jit the duplicated rows build
-    # is CSE'd with the vjp primal.
-    _, params_vec, ids_p, spec, unbonded = build_tile_inputs(
-        composed, body_soa, sym_ids, block_size
-    )
+    def _gt_of(unb):
+        return jnp.stack(
+            [jnp.asarray(1.0 if w is None else w[i], jnp.float32) for i, _ in unb]
+        )
+
+    tables = _as_tables(sym_ids)
 
     def rows_of(body):
-        return build_tile_inputs(composed, body, sym_ids, block_size)[0]
+        return tuple(dynamic_rows(ctx, body) for ctx in ctxs)
 
-    rows_rf, vjp_fn = jax.vjp(rows_of, body_soa)
-
-    w = composed.weights
-    gt = jnp.stack(
-        [jnp.asarray(1.0 if w is None else w[i], jnp.float32) for i, _ in unbonded]
-    )
-    g_rows = _bwd_rows_impl(rows_rf, params_vec, ids_p, gt, spec)
-    pad = jnp.zeros((rows_rf.shape[0], N_FIELDS - N_GRAD_FIELDS), rows_rf.dtype)
-    (g_body,) = vjp_fn(jnp.concatenate([g_rows, pad], axis=1))
+    rows_all, vjp_fn = jax.vjp(rows_of, body_soa)
+    cots = []
+    unbonded: tuple = ()
+    for ctx, ids, rows in zip(ctxs, tables, rows_all, strict=True):
+        spec = ctx.spec
+        g_rows = _bwd_rows_impl(
+            rows, ctx.params_vec, pad_ids(spec, ids), _gt_of(ctx.unbonded), spec
+        )
+        pad = jnp.zeros((rows.shape[0], spec.n_fields - spec.n_grad_fields), rows.dtype)
+        cots.append(jnp.concatenate([g_rows, pad], axis=1))
+        unbonded = unbonded + ctx.unbonded
+    (g_body,) = vjp_fn(tuple(cots))
 
     unbonded_idx = {i for i, _ in unbonded}
     first = unbonded[0][1]
@@ -818,3 +1200,11 @@ def fused_grads_soa(composed, body_soa, sym_ids, block_size: int):
         g_bonded = jax.grad(bonded_energy)(body_soa)
         g_body = jax.tree.map(jnp.add, g_body, g_bonded)
     return g_body
+
+
+def fused_grads_soa(composed, body_soa, sym_ids, block_size: int, perm=None):
+    """One-shot wrapper: prepare contexts + fused_grads_ctx (see
+    fused_energy_soa for why hot loops must prepare once instead)."""
+    return fused_grads_ctx(
+        composed, prepare_contexts(composed, sym_ids, block_size, perm), body_soa, sym_ids
+    )

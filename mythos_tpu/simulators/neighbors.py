@@ -188,6 +188,17 @@ class BlockNeighborList:
     #: kernels need this: row-side-only gradients over a symmetric table
     #: equal the full per-row force (ops/oxdna_tiles.py).
     symmetric: bool = False
+    #: two-level mode: when set, ``build`` returns a (tight, wide) pair of
+    #: tables compacted from the same AABB pass -- the tight one thresholds
+    #: at r_cutoff_inner (the short-range terms' max cutoff), the wide one
+    #: at r_cutoff (Debye). The fused kernels run the expensive terms on the
+    #: tight table only (ops/oxdna_tiles.fused_energy_soa).
+    r_cutoff_inner: float | None = None
+    capacity_inner: int = 0
+    #: static spatial reordering: perm[slot] = original index. Blocks are
+    #: formed over the PERMUTED layout (see strand_interleave_perm); the
+    #: fused kernels must receive the same perm (ops/oxdna_tiles).
+    perm: Arr | None = None
     block_ids_: Arr | None = None
     did_overflow: Arr | None = None
 
@@ -222,30 +233,49 @@ class BlockNeighborList:
             )
             dist2 = dist2 + gap * gap
 
-        cut = self.r_cutoff + self.dr_threshold
         col = jnp.arange(nb, dtype=jnp.int32)
-        hit = dist2 < cut * cut
-        if not self.symmetric:
-            hit = hit & (col[None, :] >= col[:, None])  # b >= a only
 
-        # top-k compaction (cheaper than a full row argsort): score hits by
-        # descending column order so top_k returns the hit columns themselves
-        score = jnp.where(hit, (nb - col)[None, :].astype(jnp.int32), 0)
-        k = min(self.capacity, nb)
-        vals, idxs = jax.lax.top_k(score, k)
-        ids = jnp.where(vals > 0, idxs.astype(jnp.int32), nb)
-        if k < self.capacity:  # keep the advertised (nb, capacity) shape
-            ids = jnp.pad(ids, ((0, 0), (0, self.capacity - k)), constant_values=nb)
-        overflow = jnp.any(jnp.sum(hit, axis=1) > self.capacity)
-        return ids, overflow
+        def compact(cut: float, capacity: int) -> tuple[Arr, Arr]:
+            hit = dist2 < cut * cut
+            if not self.symmetric:
+                hit = hit & (col[None, :] >= col[:, None])  # b >= a only
+            # top-k compaction (cheaper than a full row argsort): score hits
+            # by descending column order so top_k returns the hit columns
+            score = jnp.where(hit, (nb - col)[None, :].astype(jnp.int32), 0)
+            k = min(capacity, nb)
+            vals, idxs = jax.lax.top_k(score, k)
+            ids = jnp.where(vals > 0, idxs.astype(jnp.int32), nb)
+            if k < capacity:  # keep the advertised (nb, capacity) shape
+                ids = jnp.pad(ids, ((0, 0), (0, capacity - k)), constant_values=nb)
+            overflow = jnp.any(jnp.sum(hit, axis=1) > capacity)
+            return ids, overflow
+
+        ids, overflow = compact(self.r_cutoff + self.dr_threshold, self.capacity)
+        if self.r_cutoff_inner is None:
+            return ids, overflow
+        ids_in, ovf_in = compact(
+            self.r_cutoff_inner + self.dr_threshold, self.capacity_inner
+        )
+        return (ids_in, ids), overflow | ovf_in
+
+    def _apply_perm(self, c: Arr) -> Arr:
+        from mythos_tpu.ops.oxdna_tiles import _interleave2, _is_interleave2
+
+        if _is_interleave2(np.asarray(self.perm)):
+            return _interleave2(c)
+        return c[jnp.asarray(self.perm)]
 
     def build_ids(self, centers: Arr) -> tuple[Arr, Arr]:
         """(n_blocks, capacity) active column-block table + overflow flag."""
+        if self.perm is not None:
+            centers = jnp.stack([self._apply_perm(centers[:, k]) for k in range(3)], axis=-1)
         return self._ids_from_components(centers[:, 0], centers[:, 1], centers[:, 2])
 
     def build(self, centers) -> tuple[Arr, Arr]:
         """Alias used by the simulator's scan path; accepts (N, 3) or Vec3."""
         if isinstance(centers, tuple):  # soa.Vec3 NamedTuple
+            if self.perm is not None:
+                centers = type(centers)(*(self._apply_perm(c) for c in centers))
             return self._ids_from_components(*centers)
         return self.build_ids(centers)
 
@@ -261,6 +291,48 @@ class BlockNeighborList:
         )
 
 
+def strand_interleave_perm(topology) -> np.ndarray | None:
+    """Static duplex-interleave permutation, or None when not applicable.
+
+    For a two-strand topology whose strands pair antiparallel (the common
+    duplex layout: partner of strand-A index i is index N-1-i), interleaving
+    A_i with its partner makes index blocks spatially compact -- block AABB
+    extents halve, which shrinks the neighbor-table capacity the fused
+    kernels must process (ops/oxdna_tiles q-packing). Purely a layout
+    optimization: energies/forces are permutation-invariant.
+    """
+    counts = getattr(topology, "strand_counts", None)
+    if counts is None or len(counts) != 2 or counts[0] != counts[1]:
+        return None
+    n = int(sum(counts))
+    perm = np.empty(n, dtype=np.int64)
+    perm[0::2] = np.arange(n // 2)
+    perm[1::2] = n - 1 - np.arange(n // 2)
+    return perm
+
+
+def _snap_capacity(hits: int, block_size: int, multiplier: float, symmetric: bool) -> int:
+    """Capacity from an observed per-row hit count.
+
+    The fused Pallas kernels pack q row blocks per 128-lane panel with
+    S = 128/(B*q) column slots each (ops/oxdna_tiles._pick_q), so on the
+    symmetric path capacity is snapped to the smallest slot quantum with at
+    least one spare block of margin -- a smaller cap is padded back up to a
+    quantum anyway, and a cap one quantum too large halves the kernel's
+    packing. Overflow is detected at rebuild time either way.
+    """
+    if symmetric and 128 % block_size == 0:
+        quanta = sorted(
+            128 // (block_size * q)
+            for q in (1, 2, 4, 8, 16)
+            if block_size * q <= 128
+        )
+        for s in quanta:
+            if s >= hits + 1:
+                return s
+    return max(2, int(np.ceil(hits * multiplier)))
+
+
 def block_neighbor_list_for_topology(
     displacement_fn: Callable,
     topology,
@@ -271,8 +343,17 @@ def block_neighbor_list_for_topology(
     capacity_multiplier: float = 1.5,
     init_centers: Arr | None = None,
     symmetric: bool = False,
+    r_cutoff_inner: float | None = None,
+    perm: Arr | None = None,
 ) -> BlockNeighborList:
-    """Build a BlockNeighborList sized from initial positions."""
+    """Build a BlockNeighborList sized from initial positions.
+
+    ``r_cutoff_inner`` switches on the two-level mode: ``build`` then
+    returns a (tight, wide) table pair and the fused kernels keep the
+    expensive short-range terms off the wide (Debye-sized) table.
+    ``perm`` applies a static spatial reordering before blocking (see
+    strand_interleave_perm).
+    """
     n = topology.n_nucleotides
     # the block tile masks exclude bonded pairs via 3'/5' partner rows
     # (energy/blocks.bonded_partner_table), which encodes at most two bonds
@@ -296,14 +377,34 @@ def block_neighbor_list_for_topology(
         dr_threshold=dr_threshold,
         n=n,
         symmetric=symmetric,
+        r_cutoff_inner=r_cutoff_inner,
+        capacity_inner=(capacity or 0) if r_cutoff_inner is not None else 0,
+        perm=None if perm is None else np.asarray(perm),
     )
     if capacity is None:
         if init_centers is None:
             raise ValueError("capacity or init_centers must be provided")
-        probe = nbl.replace(capacity=nbl.n_blocks)
+        probe = nbl.replace(
+            capacity=nbl.n_blocks, capacity_inner=nbl.n_blocks if r_cutoff_inner else 0
+        )
         ids, _ = probe.build_ids(jnp.asarray(init_centers))
+        ids_in = None
+        if r_cutoff_inner is not None:
+            ids_in, ids = ids
         hits = int(np.max(np.sum(np.asarray(ids) < probe.n_blocks, axis=1)))
-        nbl = nbl.replace(capacity=max(2, min(probe.n_blocks, int(np.ceil(hits * capacity_multiplier)))))
+        cap = min(probe.n_blocks, _snap_capacity(hits, block_size, capacity_multiplier, symmetric))
+        cap_in = 0
+        if ids_in is not None:
+            hits_in = int(np.max(np.sum(np.asarray(ids_in) < probe.n_blocks, axis=1)))
+            cap_in = min(
+                probe.n_blocks, _snap_capacity(hits_in, block_size, capacity_multiplier, symmetric)
+            )
+            if cap_in >= cap:
+                # the tight table snapped to the same capacity as the wide
+                # one: two kernels would just double the panel-assembly cost
+                nbl = nbl.replace(r_cutoff_inner=None)
+                cap_in = 0
+        nbl = nbl.replace(capacity=cap, capacity_inner=cap_in)
     return nbl.allocate(jnp.asarray(init_centers)) if init_centers is not None else nbl
 
 

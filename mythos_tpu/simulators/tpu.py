@@ -55,6 +55,11 @@ ERR_PERIODIC_FUSED = (
     "the fused Pallas kernels (symmetric block table) compute free-space "
     "displacements; periodic boxes need a non-symmetric table (XLA tile path)."
 )
+ERR_TWO_LEVEL = (
+    "a two-level block neighbor list (r_cutoff_inner) is only consumed by "
+    "the fused Pallas path (symmetric=True + SoA); other paths expect one "
+    "block table."
+)
 
 
 @chex.dataclass
@@ -191,6 +196,8 @@ def build_run_fn(
         )
     elif use_soa and aos_periodic and space_soa is None:
         raise ValueError(ERR_PERIODIC_SOA)
+    if block_nbrs and neighbors.r_cutoff_inner is not None and not (use_soa and neighbors.symmetric):
+        raise ValueError(ERR_TWO_LEVEL)
     if use_soa:
         shift = (space_soa or spaces.free_soa())[1]
         if block_nbrs and neighbors.symmetric and getattr(shift, "is_periodic", False):
@@ -234,18 +241,26 @@ def build_run_fn(
             # block-sparse tile path: the table rides the generic
             # unbonded_neighbors plumbing but binds as block_ids
             if use_soa and neighbors.symmetric:
-                # symmetric table -> fused Pallas kernels (ops/oxdna_tiles)
+                # symmetric table -> fused Pallas kernels (ops/oxdna_tiles).
+                # Contexts (packed params, static row fields) are prepared
+                # HERE, outside the stepping scan: XLA re-executes anything
+                # left inside the while-loop body every iteration.
                 from mythos_tpu.ops import oxdna_tiles
 
+                ctxs = oxdna_tiles.prepare_contexts(
+                    updated_energy_fn, neighbors.idx, neighbors.block_size,
+                    perm=neighbors.perm,
+                )
+
                 def _energy_fn(body, unbonded_neighbors: Arr) -> Scalar:
-                    return oxdna_tiles.fused_energy_soa(
-                        updated_energy_fn, body, unbonded_neighbors, neighbors.block_size
+                    return oxdna_tiles.fused_energy_ctx(
+                        updated_energy_fn, ctxs, body, unbonded_neighbors
                     )
 
                 # Langevin consumes forces only: skip the forward kernel
                 def _grad_fn(body, unbonded_neighbors: Arr):
-                    return oxdna_tiles.fused_grads_soa(
-                        updated_energy_fn, body, unbonded_neighbors, neighbors.block_size
+                    return oxdna_tiles.fused_grads_ctx(
+                        updated_energy_fn, ctxs, body, unbonded_neighbors
                     )
             elif use_soa:
 
