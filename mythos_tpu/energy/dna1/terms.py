@@ -608,7 +608,21 @@ class Stacking(BaseEnergyFunction):
         return self.pairwise_energies(nucleotide, self.seq, self.bonded_neighbors).sum()
 
     def _seq_pair_weights_shift(self, seq) -> Arr:
-        """(N,) eps_stack weights for (i, i+1) pairs via static one-hots."""
+        """(N,) eps_stack weights for (i, i+1) pairs.
+
+        Discrete sequences contract static one-hots against the table;
+        probabilistic sequences use the factorized marginal form (the same
+        bilinear structure, seqdep.factorized_weights) plus the sparse
+        same-base-pair correction -- all shift-aligned vector math, no
+        gathers, so pseq runs on the SoA hot path too.
+        """
+        if self.params.pseq:
+            left, right, partner, corr = seqdep.factorized_weights(
+                self.params.pseq, self.params.eps_stack, self.params.pseq_constraints
+            )
+            w = jnp.sum(left * jnp.roll(right, -1, axis=0), axis=-1)
+            idx = jnp.arange(w.shape[0])
+            return w + jnp.where(partner == idx + 1, corr, 0.0)
         oh = jax.nn.one_hot(seq, 4, dtype=self.params.eps_stack.dtype)
         oh_next = jnp.roll(oh, -1, axis=0)
         return jnp.sum(_pmm(oh, self.params.eps_stack) * oh_next, axis=-1)
@@ -619,13 +633,16 @@ class Stacking(BaseEnergyFunction):
         return self._seq_pair_weights_shift(seq) * self.stack_product(g)
 
     def energy_soa(self, nuc, seq) -> Scalar:
-        if self.params.pseq:
-            raise NotImplementedError(ERR_PSEQ_PAIR_LIST)
         if self.bonded_next_mask is not None:
             return jnp.where(self.bonded_next_mask, self.rowwise_soa(nuc, seq), 0.0).sum()
         nn_i, nn_j = self.bonded_neighbors[:, 0], self.bonded_neighbors[:, 1]
         g = geom.bonded_geometry_soa(nuc, nn_i, nn_j, self.displacement_soa)
-        weights = self.params.eps_stack[seq[nn_i], seq[nn_j]]
+        if self.params.pseq:
+            weights = seqdep.pair_weights(
+                self.params.pseq, nn_i, nn_j, self.params.eps_stack, self.params.pseq_constraints
+            )
+        else:
+            weights = self.params.eps_stack[seq[nn_i], seq[nn_j]]
         return (weights * self.stack_product(g)).sum()
 
 
@@ -810,17 +827,25 @@ class HydrogenBonding(BaseEnergyFunction):
             weights = self.params.eps_hb_weights[seq[op_i], seq[op_j]]
         return weights * v_hb
 
+    def _pseq_factors(self):
+        """(left, right, partner, corr) marginal factors of the expected
+        hb-weight table (seqdep.factorized_weights contract)."""
+        return seqdep.factorized_weights(
+            self.params.pseq, self.params.eps_hb_weights, self.params.pseq_constraints
+        )
+
     def _dense_weights(self, seq) -> Arr:
-        """(N, N) sequence weights as one-hot contractions against the table."""
+        """(N, N) sequence weights as one-hot contractions against the table.
+
+        Probabilistic sequences use the identical bilinear structure with
+        marginal factors instead of one-hots, plus the partner-sparse
+        same-base-pair correction (exact: test_pair_weights_brute_force).
+        """
         if self.params.pseq:
-            marg = seqdep.nucleotide_marginals(self.params.pseq, self.params.pseq_constraints)
-            # independent-pair expectation; the same-bp correction involves
-            # only h-bonded partners, handled exactly by pair_weights -- the
-            # dense path assumes i<j unbonded pairs where the correction
-            # applies to the (rare) same-bp pairs; fall back there.
-            raise NotImplementedError(
-                "probabilistic sequences use the pair-list path (dense_mask=None)"
-            )
+            left, right, partner, corr = self._pseq_factors()
+            w = _pmm(left, right.T)
+            col = jnp.arange(w.shape[1])[None, :]
+            return w + jnp.where(col == partner[:, None], corr[:, None], 0.0)
         onehot = jax.nn.one_hot(seq, 4, dtype=self.params.eps_hb_weights.dtype)
         return _pmm(_pmm(onehot, self.params.eps_hb_weights), onehot.T)
 
@@ -835,18 +860,45 @@ class HydrogenBonding(BaseEnergyFunction):
         oh_j = jax.nn.one_hot(self.seq if seq_j is None else seq_j, 4, dtype=w.dtype)
         return self.hb_product(g) * _pmm(_pmm(oh_i, w), oh_j.T)
 
+    def tile_row_fields(self) -> dict:
+        if not self.params.pseq:
+            return {}
+        left, right, partner, corr = self._pseq_factors()
+        return {
+            "hb_left": left,
+            "hb_right": right,
+            "hb_partner": partner,
+            "hb_corr": corr,
+            "gid": jnp.arange(left.shape[0], dtype=jnp.int32),
+        }
+
+    def _tile_pseq_weights(self, aux_i: dict, aux_j: dict) -> Arr:
+        """(Bi, Bj) expected weights from the factorized marginal fields.
+
+        Same bilinear hw . oh structure as the discrete path, plus the
+        partner-sparse same-base-pair correction keyed on the column gid.
+        """
+        wt = _pmm(aux_i["hb_left"], aux_j["hb_right"].T)
+        same = aux_j["gid"][None, :] == aux_i["hb_partner"][:, None]
+        return wt + jnp.where(same, aux_i["hb_corr"][:, None], 0.0)
+
     def tile_energy_fn(self):
         if self.params.pseq:
-            return None
+
+            def tile(ri, rj):
+                g = geom.unbonded_geometry_dense(ri[0], rj[0], self.displacement_fn)
+                return self.hb_product(g) * self._tile_pseq_weights(ri[2], rj[2])
+
+            return tile
         return lambda ri, rj: self.dense_energies(ri[0], rj[0], ri[1], rj[1])
 
     def tile_energy_soa_fn(self):
-        if self.params.pseq:
-            return None
         w = self.params.eps_hb_weights
 
         def tile(ri, rj):
             g = geom.unbonded_geometry_tile_soa(ri[0], rj[0], self.displacement_soa)
+            if self.params.pseq:
+                return self.hb_product(g) * self._tile_pseq_weights(ri[2], rj[2])
             oh_i = jax.nn.one_hot(ri[1], 4, dtype=w.dtype)
             oh_j = jax.nn.one_hot(rj[1], 4, dtype=w.dtype)
             return self.hb_product(g) * _pmm(_pmm(oh_i, w), oh_j.T)
@@ -855,11 +907,9 @@ class HydrogenBonding(BaseEnergyFunction):
 
     def compute_energy(self, nucleotide: BaseNucleotide) -> Scalar:
         if self.block_ids is not None:
-            if self.params.pseq:
-                raise NotImplementedError(ERR_PSEQ_PAIR_LIST)
             return blocks.block_pair_sum(
                 self.tile_energy_fn(),
-                (nucleotide, jnp.asarray(self.seq)),
+                (nucleotide, jnp.asarray(self.seq), self.tile_row_fields()),
                 self.block_ids,
                 self.block_size,
                 nucleotide.center.shape[0],

@@ -48,15 +48,20 @@ class Stacking(dna1_terms.Stacking):
         return self._seq_pair_weights_shift(seq) * self.stack_product(g)
 
     def energy_soa(self, nuc, seq) -> Scalar:
-        if self.params.pseq:
-            raise NotImplementedError(dna1_terms.ERR_PSEQ_PAIR_LIST)
         if self.bonded_next_mask is not None:
             return jnp.where(self.bonded_next_mask, self.rowwise_soa(nuc, seq), 0.0).sum()
         nn_i, nn_j = self.bonded_neighbors[:, 0], self.bonded_neighbors[:, 1]
         g = geom.bonded_geometry_soa(
             nuc, nn_i, nn_j, self.displacement_soa, back=nuc.back_dna1
         )
-        weights = self.params.eps_stack[seq[nn_i], seq[nn_j]]
+        if self.params.pseq:
+            from mythos_tpu.energy import seqdep
+
+            weights = seqdep.pair_weights(
+                self.params.pseq, nn_i, nn_j, self.params.eps_stack, self.params.pseq_constraints
+            )
+        else:
+            weights = self.params.eps_stack[seq[nn_i], seq[nn_j]]
         return (weights * self.stack_product(g)).sum()
 
 

@@ -278,20 +278,30 @@ class Stacking(BaseEnergyFunction):
             * bf.f5(-cosphi2, p.neg_cos_phi2_star_stack, p.neg_cos_phi2_c_stack, p.a_stack_2, p.b_neg_cos_phi2_stack)
         )
 
-    def rowwise_soa(self, nuc, seq) -> Arr:
-        """(N,) shift-path values; valid where bonded_next_mask."""
+    def _seq_pair_weights_shift(self, seq) -> Arr:
+        """(N,) eps_stack weights for (i, i+1) pairs (pseq via marginals)."""
         import jax
 
+        if self.params.pseq:
+            from mythos_tpu.energy import seqdep
+
+            left, right, partner, corr = seqdep.factorized_weights(
+                self.params.pseq, self.params.eps_stack, self.params.pseq_constraints
+            )
+            w = jnp.sum(left * jnp.roll(right, -1, axis=0), axis=-1)
+            idx = jnp.arange(w.shape[0])
+            return w + jnp.where(partner == idx + 1, corr, 0.0)
+        oh = jax.nn.one_hot(seq, 4, dtype=self.params.eps_stack.dtype)
+        return jnp.sum(_pmm(oh, self.params.eps_stack) * jnp.roll(oh, -1, axis=0), axis=-1)
+
+    def rowwise_soa(self, nuc, seq) -> Arr:
+        """(N,) shift-path values; valid where bonded_next_mask."""
         from mythos_tpu.energy.dna1.geometry import _roll_vec3
 
         nuc_j = nuc._replace(**{f: _roll_vec3(getattr(nuc, f)) for f in nuc._fields})
-        oh = jax.nn.one_hot(seq, 4, dtype=self.params.eps_stack.dtype)
-        weights = jnp.sum(_pmm(oh, self.params.eps_stack) * jnp.roll(oh, -1, axis=0), axis=-1)
-        return weights * self._v_stack_soa(nuc, nuc_j)
+        return self._seq_pair_weights_shift(seq) * self._v_stack_soa(nuc, nuc_j)
 
     def energy_soa(self, nuc, seq) -> Scalar:
-        if self.params.pseq:
-            raise NotImplementedError("probabilistic sequences use the pair-list path")
         if self.bonded_next_mask is not None:
             return jnp.where(self.bonded_next_mask, self.rowwise_soa(nuc, seq), 0.0).sum()
         from mythos_tpu.energy.dna1.geometry import _gather_vec3
@@ -299,7 +309,14 @@ class Stacking(BaseEnergyFunction):
         nn_i, nn_j = self.bonded_neighbors[:, 0], self.bonded_neighbors[:, 1]
         nuc_i = nuc._replace(**{f: _gather_vec3(getattr(nuc, f), nn_i) for f in nuc._fields})
         nuc_jj = nuc._replace(**{f: _gather_vec3(getattr(nuc, f), nn_j) for f in nuc._fields})
-        weights = self.params.eps_stack[seq[nn_i], seq[nn_j]]
+        if self.params.pseq:
+            from mythos_tpu.energy import seqdep
+
+            weights = seqdep.pair_weights(
+                self.params.pseq, nn_i, nn_j, self.params.eps_stack, self.params.pseq_constraints
+            )
+        else:
+            weights = self.params.eps_stack[seq[nn_i], seq[nn_j]]
         return (weights * self._v_stack_soa(nuc_i, nuc_jj)).sum()
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 import mythos_tpu.utils.constants as const
 from mythos_tpu.io.sequence_constraints import SequenceConstraints
@@ -54,6 +55,52 @@ def nucleotide_marginals(pseq: Probabilistic_Sequence, sc: SequenceConstraints) 
 
     unpaired_marg = up_pseq[idx_to_up]  # junk rows for paired (masked)
     return jnp.where(is_unpaired[:, None], unpaired_marg, paired_marg)
+
+
+def factorized_weights(
+    pseq: Probabilistic_Sequence,
+    weights_table: Arr,
+    sc: SequenceConstraints,
+    marginals: Arr | None = None,
+) -> tuple[Arr, Arr, Arr, Arr]:
+    """Rank-4 + sparse-correction form of the expected pair-weight matrix.
+
+    Returns ``(left, right, partner, corr)`` with, for every i != j::
+
+        E[W[s_i, s_j]] == left[i] @ right[j] + (j == partner[i]) * corr[i]
+
+    ``left = M @ W`` and ``right = M`` ((N, 4) marginal factors), so the
+    independent-pair expectation is the SAME bilinear structure the discrete
+    paths use for one-hots -- the dense (N, N) weight matrix, the block-tile
+    contraction, and the fused Pallas kernel's in-tile ``hw . oh`` product
+    all take pseq marginals without changing shape. The only pairs where
+    independence fails are the two members of one constrained base pair;
+    ``partner`` maps each nucleotide to its bp partner (itself when
+    unpaired, so the correction can never fire on i != j) and ``corr`` is
+    the exact-minus-factorized residual there.
+
+    Parity: equals :func:`pair_weights` elementwise (test_seqdep brute
+    force); reference semantics mythos/energy/utils.py:45-132.
+    """
+    if marginals is None:
+        marginals = nucleotide_marginals(pseq, sc)
+    weights_table = jnp.asarray(weights_table)
+    left = jnp.matmul(marginals, weights_table, precision=jax.lax.Precision.HIGHEST)
+    right = marginals
+
+    n = sc.n_nucleotides
+    partner_np = np.arange(n)
+    bps = np.asarray(sc.bps).reshape(-1, 2).astype(int)
+    if bps.size:
+        partner_np[bps[:, 0]] = bps[:, 1]
+        partner_np[bps[:, 1]] = bps[:, 0]
+    partner = jnp.asarray(partner_np, jnp.int32)
+
+    idx = jnp.arange(n)
+    exact = pair_weights(pseq, idx, partner, weights_table, sc, marginals=marginals)
+    w_ind = jnp.sum(left * right[partner], axis=-1)
+    corr = jnp.where(partner != idx, exact - w_ind, 0.0)
+    return left, right, partner, corr
 
 
 def pair_weights(

@@ -62,15 +62,20 @@ _COM = 0  # center of mass                     (3)
 _A1 = 3  # back-base frame vector              (3)
 _A2 = 6  # cross-product frame vector          (3)
 _A3 = 9  # base-normal frame vector            (3)
-_HW = 12  # hw = one_hot(seq) @ eps_hb_weights (4)
-_OH = 16  # one_hot(seq)                       (4)
-_QF = 20  # Debye end-charge factor            (1)
-_PREV = 21  # bonded 3' partner id as f32, -1 if none
-_NXT = 22  # bonded 5' partner id as f32, -1 if none
-_GID = 23  # global id as f32 (huge when padded)
-N_FIELDS = 24
+_HW = 12  # left hb-weight factor: one_hot(seq) @ W, or marginal @ W (pseq)  (4)
+_OH = 16  # right hb-weight factor: one_hot(seq), or marginal (pseq)         (4)
+_CORR = 20  # pseq same-base-pair weight correction (0 when discrete)
+_QF = 21  # Debye end-charge factor            (1)
+_PARTNER = 22  # pseq bp-partner slot id as f32 (own gid when inapplicable)
+_PREV = 23  # bonded 3' partner id as f32, -1 if none
+_NXT = 24  # bonded 5' partner id as f32, -1 if none
+_GID = 25  # global id as f32 (huge when padded)
+N_FIELDS = 26
 #: row-gradient layout: com/a1/a2/a3 (symmetric mask) + hw (triangular mask)
 N_GRAD_FIELDS = 16
+#: pseq adds the right factor (reverse-triangular, role-swapped product) and
+#: the correction (triangular) so sequence-distribution gradients flow
+N_GRAD_FIELDS_PSEQ = 21
 
 #: slim field layout of the ``debye`` kind (the wide-cutoff Debye-Hueckel
 #: term only needs the backbone site and the end-charge factor)
@@ -128,6 +133,7 @@ class TileSpec(NamedTuple):
     resident: bool  # in-kernel assembly (True) vs XLA gather panels
     kind: str = "full"  # "full" | "short" | "debye"
     q: int = 1  # row blocks sharing one panel
+    pseq: bool = False  # hb weights from sequence-distribution marginals
 
     @property
     def panel(self) -> int:
@@ -143,7 +149,9 @@ class TileSpec(NamedTuple):
 
     @property
     def n_grad_fields(self) -> int:
-        return N_GRAD_FIELDS_DEBYE if self.kind == "debye" else N_GRAD_FIELDS
+        if self.kind == "debye":
+            return N_GRAD_FIELDS_DEBYE
+        return N_GRAD_FIELDS_PSEQ if self.pseq else N_GRAD_FIELDS
 
     @property
     def id_offsets(self) -> tuple[int, int, int]:
@@ -161,19 +169,64 @@ def _is_numeric(leaf) -> bool:
     return hasattr(leaf, "dtype") and jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)
 
 
+def _is_static_struct(leaf) -> bool:
+    """Containers kept as ONE opaque static leaf (never traced).
+
+    SequenceConstraints carries validation in __post_init__ that would run
+    on tracers if its int fields were flattened through the packed vector.
+    """
+    from mythos_tpu.io.sequence_constraints import SequenceConstraints
+
+    return isinstance(leaf, SequenceConstraints)
+
+
+class _FrozenStatic:
+    """Hashable pickle wrapper for static (unhashable) leaves.
+
+    TileSpec rides through custom_vjp nondiff_argnums and jit static args,
+    so every static leaf must be hashable; array-bearing containers (e.g.
+    SequenceConstraints when pseq is set) are frozen to bytes here and
+    thawed verbatim at unpack time.
+    """
+
+    __slots__ = ("data",)
+
+    def __init__(self, leaf):
+        import pickle
+
+        self.data = pickle.dumps(leaf)
+
+    def thaw(self):
+        import pickle
+
+        return pickle.loads(self.data)
+
+    def __hash__(self):
+        return hash(self.data)
+
+    def __eq__(self, other):
+        return isinstance(other, _FrozenStatic) and self.data == other.data
+
+
 def pack_params(param_structs) -> tuple[Arr, "tuple"]:
     """Flatten term configs into one (1, P) f32 vector (+ static meta).
 
-    Non-numeric leaves (metadata strings, bools, int flags) are baked into
-    the static meta and restored verbatim at unpack time.
+    Non-numeric leaves (metadata strings, bools, int flags, index tables)
+    are baked into the static meta and restored verbatim at unpack time.
     """
-    leaves, treedef = jax.tree_util.tree_flatten(tuple(param_structs))
+    leaves, treedef = jax.tree_util.tree_flatten(
+        tuple(param_structs), is_leaf=_is_static_struct
+    )
     flat = []
     meta = []
     for leaf in leaves:
-        if _is_numeric(leaf):
+        if _is_static_struct(leaf):
+            meta.append(("s", _FrozenStatic(leaf), 0))
+        elif _is_numeric(leaf):
             flat.append(jnp.ravel(jnp.asarray(leaf, jnp.float32)))
             meta.append(("n", tuple(np.shape(leaf)), int(np.size(leaf))))
+        elif hasattr(leaf, "dtype"):
+            meta.append(("s", _FrozenStatic(np.asarray(leaf)), 0))
         else:
             meta.append(("s", leaf, 0))
     vec = jnp.concatenate(flat) if flat else jnp.zeros((1,), jnp.float32)
@@ -186,7 +239,7 @@ def _unpack_params(p_ref, treedef, leaf_meta):
     off = 0
     for kind, info, size in leaf_meta:
         if kind == "s":
-            leaves.append(info)
+            leaves.append(info.thaw() if isinstance(info, _FrozenStatic) else info)
             continue
         if size == 1:
             leaves.append(p_ref[0, off])
@@ -350,10 +403,12 @@ def _tile_energies(rows: "_Rows", panel, params, spec: TileSpec):
     """All term energies on one (B, M) tile panel.
 
     rows: _Rows accessor over the (q*B, F) row fields; panel: (F, M) column
-    fields. Returns (energies, hb_prod): energies is a list of (B, M)
-    arrays in term order [exc_vol, hb, cross, coax, (debye)] (or [debye]
-    for the slim kind); hb_prod is the weight-free hydrogen-bonding product
-    (for the triangular hw gradient). Formula source: the same product
+    fields. Returns (energies, (hb_prod, hb_prod_t)): energies is a list of
+    (B, M) arrays in term order [exc_vol, hb, cross, coax, (debye)] (or
+    [debye] for the slim kind); hb_prod is the weight-free hydrogen-bonding
+    product (for the triangular hw gradient) and hb_prod_t its role-swapped
+    twin (pseq right-factor gradient; None otherwise). Formula source: the
+    same product
     functions as the XLA tile path (energy/dna1/terms.py,
     energy/dna2/terms.py).
     """
@@ -371,7 +426,7 @@ def _tile_energies(rows: "_Rows", panel, params, spec: TileSpec):
             p_debye.kappa, p_debye.prefactor, p_debye.smoothing_coeff, p_debye.r_cut, p_debye.r_high,
         )
         qf = rows.field(_DB_QF) * panel[_DB_QF : _DB_QF + 1, :]
-        return [dgs * qf], None
+        return [dgs * qf], (None, None)
 
     def _bare(cls, prm):
         obj = object.__new__(cls)
@@ -404,12 +459,29 @@ def _tile_energies(rows: "_Rows", panel, params, spec: TileSpec):
     g_ub = geom.unbonded_geometry_vec(
         base_i, base_j, a1_i, a1_j, a3_i, a3_j, _disp, arccos=arccos_poly
     )
-    hb_prod = _bare(t1.HydrogenBonding, p_hb).hb_product(g_ub)
-    # hb weight = sum_k hw_i[k] * onehot_j[k], elementwise on the VPU (a
-    # K=4 MXU dot is slower and would mix lane groups when q > 1)
+    hb_term = _bare(t1.HydrogenBonding, p_hb)
+    hb_prod = hb_term.hb_product(g_ub)
+    # hb weight = sum_k hw_i[k] * oh_j[k], elementwise on the VPU (a K=4 MXU
+    # dot is slower and would mix lane groups when q > 1). For pseq, hw/oh
+    # hold the marginal factors (seqdep.factorized_weights) and the
+    # partner-sparse same-base-pair correction is added on top.
     weight = 0.0
     for k in range(4):
         weight = weight + rows.field(_HW + k) * panel[_OH + k : _OH + k + 1, :]
+    hb_prod_t = None
+    if spec.pseq:
+        jg = panel[_GID : _GID + 1, :]
+        same = jg == rows.field(_PARTNER)
+        weight = weight + jnp.where(same, rows.field(_CORR), 0.0)
+        # role-swapped product for the right-factor gradient: exchanging the
+        # pair swaps theta2<->theta3 and theta7<->theta8 (theta1/theta4/r are
+        # exchange-symmetric), so hb_prod(j, i) is this tile's product with
+        # the swapped modulations -- exact even when the 2/3 (7/8) f4
+        # parameters differ (no symmetry assumption)
+        g_sw = g_ub._replace(
+            theta2=g_ub.theta3, theta3=g_ub.theta2, theta7=g_ub.theta8, theta8=g_ub.theta7
+        )
+        hb_prod_t = hb_term.hb_product(g_sw)
     out.append(hb_prod * weight)
 
     out.append(_bare(t1.CrossStacking, p_cross).cross_product_term(g_ub))
@@ -449,10 +521,10 @@ def _tile_energies(rows: "_Rows", panel, params, spec: TileSpec):
         qf = rows.field(_QF) * panel[_QF : _QF + 1, :]
         out.append(dgs * qf)
 
-    return out, hb_prod
+    return out, (hb_prod, hb_prod_t)
 
 
-def _tile_mask(rows: "_Rows", panel, spec: TileSpec, *, triangular: bool):
+def _tile_mask(rows: "_Rows", panel, spec: TileSpec, *, triangular: bool, reverse: bool = False):
     """(B, M) validity mask: no self, no bonded, real rows/cols only.
 
     Row identity comes from the gid FIELD (not a recomputed block index),
@@ -469,7 +541,10 @@ def _tile_mask(rows: "_Rows", panel, spec: TileSpec, *, triangular: bool):
     jg = panel[gid_off : gid_off + 1, :]  # (1, M); _BIG when padded
     prev_i = rows.field(prev_off)
     nxt_i = rows.field(nxt_off)
-    keep = (jg > ig) if triangular else (jg != ig)
+    if triangular:
+        keep = (jg < ig) if reverse else (jg > ig)
+    else:
+        keep = jg != ig
     return (
         keep
         & (ig < spec.n)
@@ -527,6 +602,19 @@ def _lane_group_mask(spec: TileSpec, qq: int):
     return (lane >= qq * w) & (lane < (qq + 1) * w)
 
 
+def _group_dot(mat, cols, spec: TileSpec):
+    """(B, M) @ (M, K) -> (q*B, K), each row block summing only its own
+    lane group (mat's sublane r + lane group qq = row r of row block qq)."""
+    kw = dict(precision=jax.lax.Precision.HIGHEST, preferred_element_type=mat.dtype)
+    if spec.q == 1:
+        return jax.lax.dot(mat, cols, **kw)
+    parts = []
+    for qq in range(spec.q):
+        masked = jnp.where(_lane_group_mask(spec, qq), mat, 0.0)
+        parts.append(jax.lax.dot(masked, cols, **kw))
+    return jnp.concatenate(parts, axis=0)
+
+
 def _bwd_kernel_body(panel, rows_g, params, gt, spec: TileSpec):
     """(q*B, n_grad_fields) row-side gradients for q row blocks."""
 
@@ -534,48 +622,57 @@ def _bwd_kernel_body(panel, rows_g, params, gt, spec: TileSpec):
         if spec.kind == "debye":
             rows_sg = rows_in
         else:
-            # hw enters only row-side in the triangular forward; stop its
-            # symmetric-mask gradient here and differentiate it under the
-            # triangular mask below (the symmetric shortcut would double it)
+            # hw (and the pseq correction) enter only row-side in the
+            # triangular forward; stop their symmetric-mask gradients here
+            # and differentiate them under the correct triangle below (the
+            # symmetric shortcut would double them)
+            stop_hi = _CORR + 1 if spec.pseq else _HW + 4
             rows_sg = jnp.concatenate(
                 [
                     rows_in[:, :_HW],
-                    jax.lax.stop_gradient(rows_in[:, _HW : _HW + 4]),
-                    rows_in[:, _HW + 4 :],
+                    jax.lax.stop_gradient(rows_in[:, _HW:stop_hi]),
+                    rows_in[:, stop_hi:],
                 ],
                 axis=1,
             )
         rv = _Rows(rows_sg, spec)
         mask = _tile_mask(rv, panel, spec, triangular=False)
-        energies, hb_prod = _tile_energies(rv, panel, params, spec)
+        energies, (hb_prod, hb_prod_t) = _tile_energies(rv, panel, params, spec)
         tot = 0.0
         for t, e in enumerate(energies):
             tot = tot + gt[t] * jnp.where(mask, e, 0.0).sum()
         if spec.kind == "debye":
-            return tot, jnp.zeros_like(energies[0])
-        mask_tri = _tile_mask(_Rows(rows_in, spec), panel, spec, triangular=True)
-        return tot, jnp.where(mask_tri, hb_prod, 0.0)
+            return tot, (jnp.zeros_like(energies[0]),) * 3
+        rv_raw = _Rows(rows_in, spec)
+        mask_tri = _tile_mask(rv_raw, panel, spec, triangular=True)
+        hb_tri = jnp.where(mask_tri, hb_prod, 0.0)
+        if not spec.pseq:
+            return tot, (hb_tri, hb_tri, hb_tri)
+        # right-factor gradient: pairs where this row is the COLUMN, i.e.
+        # j < i over the symmetric table, with the role-swapped product
+        mask_rtri = _tile_mask(rv_raw, panel, spec, triangular=True, reverse=True)
+        hbt_rtri = jnp.where(mask_rtri, hb_prod_t, 0.0)
+        same = panel[_GID : _GID + 1, :] == rv_raw.field(_PARTNER)
+        eqhb_tri = jnp.where(mask_tri & same, hb_prod, 0.0)
+        return tot, (hb_tri, hbt_rtri, eqhb_tri)
 
-    (_, hb_tri), g_rows = jax.value_and_grad(total, has_aux=True)(rows_g)
+    (_, (hb_tri, hbt_rtri, eqhb_tri)), g_rows = jax.value_and_grad(
+        total, has_aux=True
+    )(rows_g)
     if spec.kind == "debye":
         return g_rows[:, : spec.n_grad_fields]
 
     oh_j = panel[_OH : _OH + 4, :]
-    if spec.q == 1:
-        g_hw = gt[_HB_TERM] * jax.lax.dot(
-            hb_tri, oh_j.T, precision=jax.lax.Precision.HIGHEST, preferred_element_type=rows_g.dtype
-        )
-    else:
-        # hb_tri is (B, M): sublane r + lane group qq = row r of row block
-        # qq. Each block's hw gradient sums only its own lane group.
-        parts = []
-        for qq in range(spec.q):
-            masked = jnp.where(_lane_group_mask(spec, qq), hb_tri, 0.0)
-            parts.append(
-                jax.lax.dot(masked, oh_j.T, precision=jax.lax.Precision.HIGHEST, preferred_element_type=rows_g.dtype)
-            )
-        g_hw = gt[_HB_TERM] * jnp.concatenate(parts, axis=0)
-    return jnp.concatenate([g_rows[:, :_HW], g_hw], axis=1)
+    g_hw = gt[_HB_TERM] * _group_dot(hb_tri, oh_j.T, spec)
+    if not spec.pseq:
+        return jnp.concatenate([g_rows[:, :_HW], g_hw], axis=1)
+    # d/d right factor: sum over j < i of the swapped product times the
+    # column-side LEFT factors; d/d corr: triangular partner-matched sum
+    hw_j = panel[_HW : _HW + 4, :]
+    g_oh = gt[_HB_TERM] * _group_dot(hbt_rtri, hw_j.T, spec)
+    ones_m = jnp.ones((spec.panel, 1), rows_g.dtype)
+    g_corr = gt[_HB_TERM] * _group_dot(eqhb_tri, ones_m, spec)
+    return jnp.concatenate([g_rows[:, :_HW], g_hw, g_oh, g_corr], axis=1)
 
 
 def _make_kernel(body_fn, writes_rows: bool, spec: TileSpec):
@@ -956,6 +1053,12 @@ def prepare_tile_context(
 
     params_vec, (treedef, leaf_shapes) = pack_params([fn.params for fn in terms])
     geometry = _geometry_of(first)
+    pseq_flag = kind != "debye" and bool(
+        next(
+            (fn.params.pseq for fn in terms if type(fn).__name__ == "HydrogenBonding"),
+            None,
+        )
+    )
     spec = TileSpec(
         block_size=block_size,
         cap=cap,
@@ -971,6 +1074,7 @@ def prepare_tile_context(
         resident=n_pad <= _RESIDENT_MAX_ROWS,
         kind=kind,
         q=q,
+        pseq=pseq_flag,
     )
 
     bonded = np.asarray(first.bonded_neighbors)
@@ -996,18 +1100,49 @@ def prepare_tile_context(
         tail += [jnp.zeros((n_pad,), jnp.float32)] * (N_FIELDS_DEBYE - 3 - len(tail))
     else:
         hb = next(fn for fn in terms if type(fn).__name__ == "HydrogenBonding")
-        oh = jax.nn.one_hot(seq, 4, dtype=jnp.float32)
-        hw = jnp.dot(
-            oh,
-            hb.params.eps_hb_weights.astype(jnp.float32),
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        if pseq_flag:
+            # marginal factors of the expected weight table: hw/oh become
+            # left/right (identical in-tile bilinear form), plus the
+            # partner-sparse same-base-pair correction fields
+            from mythos_tpu.energy import seqdep
+
+            sc = hb.params.pseq_constraints
+            marg = seqdep.nucleotide_marginals(hb.params.pseq, sc)
+            hw_full = jnp.matmul(
+                marg,
+                hb.params.eps_hb_weights.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            _, _, partner_j, corr_full = seqdep.factorized_weights(
+                hb.params.pseq, hb.params.eps_hb_weights, sc, marginals=marg
+            )
+            partner_np = np.asarray(partner_j)  # static (from sc.bps)
+            if perm is not None:
+                hw = hw_full[perm]
+                oh = marg[perm]
+                corr = corr_full[perm]
+                partner_np = inv_perm[partner_np[perm]]
+            else:
+                hw, oh, corr = hw_full, marg, corr_full
+            partner = jnp.asarray(partner_np, jnp.float32)
+        else:
+            oh = jax.nn.one_hot(seq, 4, dtype=jnp.float32)
+            hw = jnp.dot(
+                oh,
+                hb.params.eps_hb_weights.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            corr = jnp.zeros((n,), jnp.float32)
+            partner = jnp.full((n,), -1.0, jnp.float32)
         if has_debye:
             qf = _qf_of(next(fn for fn in terms if type(fn).__name__ == "Debye"))
         else:
             qf = jnp.ones((n,), jnp.float32)
-        cols = [hw[:, k] for k in range(4)] + [oh[:, k] for k in range(4)] + [qf]
+        cols = [hw[:, k] for k in range(4)] + [oh[:, k] for k in range(4)]
+        cols += [corr, qf, partner]
         tail = [jnp.pad(c.astype(jnp.float32), (0, pad)) for c in cols]
+        # padded rows: partner -1 never matches a real column gid
+        tail[-1] = jnp.pad(partner.astype(jnp.float32), (0, pad), constant_values=-1.0)
         tail += [prev.astype(jnp.float32), nxt.astype(jnp.float32), gid]
 
     perm_kind = None

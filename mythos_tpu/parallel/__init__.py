@@ -6,6 +6,11 @@ independent simulators (seeds/temperatures) become one shard_mapped program
 over a device mesh with psum gradient aggregation over ICI.
 """
 
+from mythos_tpu.parallel.distributed import (
+    initialize_distributed,
+    is_distributed,
+    shutdown_distributed,
+)
 from mythos_tpu.parallel.replica import (
     make_mesh,
     replica_grad_fn,
@@ -13,4 +18,12 @@ from mythos_tpu.parallel.replica import (
     sharded_energy_map,
 )
 
-__all__ = ["make_mesh", "replica_grad_fn", "replica_run_fn", "sharded_energy_map"]
+__all__ = [
+    "initialize_distributed",
+    "is_distributed",
+    "make_mesh",
+    "replica_grad_fn",
+    "replica_run_fn",
+    "sharded_energy_map",
+    "shutdown_distributed",
+]

@@ -13,8 +13,13 @@ Two implementations:
 * :class:`FixedCapacityNeighborList` -- distance-culled pair list of fixed
   capacity rebuilt functionally from an O(N^2) distance matrix with a
   TPU-friendly top-k-free compaction (argsort over the mask). Suitable up to
-  ~20k nucleotides; beyond that the Pallas cell-list kernel (mythos_tpu.ops)
-  takes over.
+  ~20k nucleotides.
+
+Scaling limits (measured, benchmarks/RESULTS.md): the block AABB rebuild is
+a dense (n_blocks, n_blocks) pass -- fine through ~50k nucleotides (a 6.2k^2
+f32 tile at block_size=8), quadratic beyond. There is NO cell-list builder
+yet; systems past ~100k nucleotides need one (hierarchical block AABB or a
+binned Pallas build) before the rebuild dominates stepping.
 
 Convention: pair lists are (2, capacity) index arrays padded with N; energy
 terms mask padded entries via ``op_i < N``.

@@ -118,6 +118,7 @@ def test_bonded_partner_table():
     assert prev[3] == -1 and nxt[0] == -1
 
 
+@pytest.mark.slow
 def test_block_simulation_runs(helix):
     """A short Langevin run on the block path stays finite, no overflow."""
     from mythos_tpu.rigid_body import RigidBody

@@ -138,6 +138,16 @@ def test_pair_weights_brute_force():
 
     np.testing.assert_allclose(np.asarray(computed), expected, rtol=1e-8)
 
+    # factorized form: left @ right + partner-sparse correction reproduces
+    # pair_weights for every i != j (the contract the dense/block/fused
+    # paths rely on)
+    left, right, partner, corr = seqdep.factorized_weights(pseq, weights_table, sc)
+    fact = np.einsum("pa,pa->p", np.asarray(left)[np.asarray(op_i)],
+                     np.asarray(right)[np.asarray(op_j)])
+    fact += np.where(np.asarray(op_j) == np.asarray(partner)[np.asarray(op_i)],
+                     np.asarray(corr)[np.asarray(op_i)], 0.0)
+    np.testing.assert_allclose(fact, expected, rtol=1e-8)
+
 
 # -- Wasserstein vs scipy ------------------------------------------------------------
 

@@ -19,6 +19,7 @@ KT = 296.15 * 0.1 / 300.0
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs the virtual device mesh")
+@pytest.mark.slow
 def test_replica_grad_over_mesh():
     n_bp = 4
     topology, body = _tiny_duplex(n_bp)

@@ -59,6 +59,7 @@ def _build(topology, block: bool):
 
 
 @pytest.mark.parametrize("system", ["na1/simple-helix-dna-rna", "na1/simple-helix-dna-dna"])
+@pytest.mark.slow
 def test_na1_soa_terms_and_grads_match(test_data_dir, system):
     base = Path(test_data_dir) / system
     topology = top.from_oxdna_file(base / "generated.top")

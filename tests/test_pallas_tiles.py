@@ -50,6 +50,7 @@ def test_fused_energy_matches_xla(system):
     np.testing.assert_allclose(e_fused, e_ref, rtol=3e-5)
 
 
+@pytest.mark.slow
 def test_fused_body_grads_match_xla(system):
     _, body, _, e, _, nbl_sym = system
     bsoa = soa.to_soa(body)
@@ -69,6 +70,7 @@ def test_fused_body_grads_match_xla(system):
     )
 
 
+@pytest.mark.slow
 def test_fused_grads_soa_matches_grad_of_energy(system):
     # the forces-only path (no forward kernel) must equal jax.grad of the
     # fused energy -- it is what the Langevin hot loop integrates
@@ -88,6 +90,7 @@ def test_fused_grads_soa_matches_grad_of_energy(system):
         )
 
 
+@pytest.mark.slow
 def test_fused_param_grads_match_xla(system):
     _, body, e0, _, nbl_tri, nbl_sym = system
     # compare both paths at f32 inputs: the kernel computes in f32, and an
@@ -110,6 +113,7 @@ def test_fused_param_grads_match_xla(system):
         assert abs(a - b) <= 3e-3 * max(1.0, abs(b)) + 1e-5, (k, a, b)
 
 
+@pytest.mark.slow
 def test_fused_param_grads_perturbed_hb(system):
     """HB parameter gradients on a perturbed configuration.
 
@@ -147,6 +151,7 @@ def test_fused_param_grads_perturbed_hb(system):
         assert abs(a - b) <= 2e-3 * max(1.0, abs(b)), (k, a, b)
 
 
+@pytest.mark.slow
 def test_fused_simulation_runs(system):
     topology, body, e0, _, _, nbl_sym = system
     from mythos_tpu.rigid_body import RigidBody
@@ -178,6 +183,7 @@ def test_fused_simulation_runs(system):
     assert float(qn) < 1e-6
 
 
+@pytest.mark.slow
 def test_fused_map_matches_reference(system):
     """The DiffTRe trajectory-energy path: fused map vs lax.map reference."""
     topology, body, e0, _, _, nbl_sym = system

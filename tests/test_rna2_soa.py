@@ -90,6 +90,7 @@ def test_rna2_soa_terms_match_pairlist(system):
     np.testing.assert_allclose(np.asarray(t_soa), np.asarray(t_ref), rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_rna2_soa_grads_match_pairlist(system):
     topology, body = system
     e_ref = _build(topology, block=False)

@@ -58,6 +58,7 @@ def test_soa_terms_match_aos(system):
     np.testing.assert_allclose(np.asarray(t_soa), np.asarray(t_aos), rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_soa_gradients_match_aos(system):
     _, body, e, _ = system
     g_soa = jax.grad(lambda b: e.energy_soa(b))(soa.to_soa(body))
@@ -87,6 +88,7 @@ def test_free_rotor_soa_matches_aos():
     np.testing.assert_allclose(np.asarray(jnp.stack(tuple(l3), -1)), np.asarray(l2), rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_soa_simulation_runs_and_differentiates(system):
     topology, body, _, nbl = system
     energy_fn = dna1.create_default_energy_fn(topology, block_unbonded=True, block_size=8)
