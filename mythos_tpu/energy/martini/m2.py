@@ -194,6 +194,10 @@ class LJ(MartiniEnergyFunction):
 
         dr = displacement_fn(centers[:, None, :], centers[None, :, :])
         r = jnp.sqrt(jnp.sum(dr * dr, axis=-1) + 1e-18)  # guarded for the diagonal
+        # clamp masked entries BEFORE the potential: r ~ 1e-9 on the diagonal
+        # overflows r^-12 and its cotangent, and inf * 0 under the outer
+        # where poisons the force gradient with NaNs
+        r = jnp.where(_pair_mask, r, 1.0)
 
         t = self._atom_type_map
         sigma = self.params.sigmas[t[:, None], t[None, :]]

@@ -10,6 +10,13 @@ from mythos_tpu.simulators.neighbors import (
     block_neighbor_list_for_topology,
     neighbor_list_for_topology,
 )
+from mythos_tpu.simulators.martini import MartiniSimulator
+from mythos_tpu.simulators.particles import (
+    ParticleLangevinState,
+    berendsen_semi_isotropic,
+    nvt_langevin_particles,
+    pressure_diag,
+)
 from mythos_tpu.simulators.tpu import StaticSimulatorParams, TpuSimulator, checkpoint_scan
 
 __all__ = [
@@ -17,13 +24,18 @@ __all__ = [
     "DensePairs",
     "FixedCapacityNeighborList",
     "InputDirSimulator",
+    "MartiniSimulator",
     "NoNeighborList",
+    "ParticleLangevinState",
     "Simulator",
     "SimulatorOutput",
     "SimulatorTrajectory",
     "StaticSimulatorParams",
     "TpuSimulator",
+    "berendsen_semi_isotropic",
     "block_neighbor_list_for_topology",
     "checkpoint_scan",
     "neighbor_list_for_topology",
+    "nvt_langevin_particles",
+    "pressure_diag",
 ]
