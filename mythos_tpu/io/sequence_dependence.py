@@ -38,9 +38,17 @@ def read_ss_weights(file: str) -> dict[str, np.ndarray]:
     hb = np.zeros((4, 4), dtype=np.float64)
     hb[N_IDX["A"], N_IDX["T"]] = hb[N_IDX["T"], N_IDX["A"]] = hb_a_t
     hb[N_IDX["G"], N_IDX["C"]] = hb[N_IDX["C"], N_IDX["G"]] = hb_g_c
+    # oxRNA tables add the G-U wobble pair (T slot encodes U)
+    hb_g_t = param_map.get("HYDR_G_T", param_map.get("HYDR_T_G"))
+    if hb_g_t is not None:
+        hb[N_IDX["G"], N_IDX["T"]] = hb[N_IDX["T"], N_IDX["G"]] = hb_g_t
 
-    return {
-        "eps_stack_kt_coeff": np.float64(param_map["STCK_FACT_EPS"]),
+    out = {
         "ss_stack_weights": stack,
         "ss_hb_weights": hb,
     }
+    # RNA tables carry no STCK_FACT_EPS (oxRNA bakes the kT slope into the
+    # per-pair entries); leave the coefficient to the model default then
+    if "STCK_FACT_EPS" in param_map:
+        out["eps_stack_kt_coeff"] = np.float64(param_map["STCK_FACT_EPS"])
+    return out

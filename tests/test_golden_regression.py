@@ -274,3 +274,124 @@ def test_rna2_hce_split(test_data_dir, term):
     energy = energy_fn.map(trajectory.state_rigid_body)
     energy = np.around(np.asarray(energy) / topology.n_nucleotides, 6)
     np.testing.assert_allclose(energy, _split(base_dir, term), atol=TOLS.get(term, 2e-6))
+
+
+# -- input-only regression dirs -------------------------------------------------
+#
+# The regr-rna2-* and regr-circle-rna fixtures ship inputs (oxDNA input
+# file, RNA sequence-dependent parameter table, circular RNA topology) but
+# no energy outputs; the 30/80bp helices ship init.conf only. They pin the
+# parsers and the cross-path consistency contract: the pair-list and dense
+# evaluations of the full model must agree on the initial configuration at
+# the input's temperature/salt.
+
+RNA2_INPUT_DIRS = [
+    "regr-rna2-2ht-293.15-ss",
+    "regr-rna2-2ht-293.15-sa",
+    "regr-rna2-2ht-296.15-ss",
+    "regr-rna2-2ht-296.15-sa",
+    "regr-rna2-5ht-293.15-sa",
+    "regr-circle-rna",
+]
+
+
+def _rna2_fn_from_input(base_dir: Path, dense: bool):
+    from mythos_tpu.utils import units
+
+    inp = oxdna_input.read(base_dir / "input")
+    conf_path = base_dir / str(inp.get("conf_file", "init.conf"))
+    if not conf_path.exists():
+        # the 5ht dir ships topology + input only: pin the topology parse
+        top.from_oxdna_file(next(base_dir.glob("*.top")))
+        pytest.skip(f"{base_dir.name}: no configuration file shipped")
+    topology = top.from_oxdna_file(base_dir / str(inp.get("topology", "sys.top")))
+    trajectory = traj.from_file(
+        base_dir / str(inp.get("conf_file", "init.conf")),
+        topology.strand_counts,
+        is_5p_3p=False,
+    )
+    box = oxdna_input.read_box_size(base_dir / str(inp.get("conf_file", "init.conf")))
+    displacement_fn, _ = spaces.periodic(float(np.max(np.asarray(box))))
+
+    kt = units.get_kt_from_string(str(inp["T"]))
+    salt = float(inp["salt_concentration"])
+    hce = str(inp.get("dh_half_charged_ends", "1")).lower() in ("1", "true")
+
+    overrides: dict = {}
+    if str(inp.get("use_average_seq", "1")).lower() in ("0", "false"):
+        ss = read_ss_weights(base_dir / str(inp["seq_dep_file"]))
+        overrides["stacking"] = {"ss_stack_weights": ss["ss_stack_weights"]}
+        overrides["hydrogen_bonding"] = {"ss_hb_weights": ss["ss_hb_weights"]}
+
+    _, params = rna2.default_configs()
+    import mythos_tpu.energy.na1  # noqa: F401 - keep import graph warm
+
+    common = dict(
+        displacement_fn=displacement_fn,
+        transform_fn=rna2.default_transform_fn(),
+        topology=topology,
+    )
+    if dense:
+        from mythos_tpu.simulators.neighbors import dense_pair_mask
+        import jax.numpy as jnp
+
+        common["dense_mask"] = jnp.asarray(dense_pair_mask(topology))
+
+    terms = [
+        ("fene", dna1.Fene, dna1.FeneConfiguration, {}),
+        ("bonded_excluded_volume", dna1.BondedExcludedVolume,
+         dna1.BondedExcludedVolumeConfiguration, {}),
+        ("stacking", rna2.Stacking, rna2.StackingConfiguration,
+         {"kt": kt, **overrides.get("stacking", {})}),
+        ("unbonded_excluded_volume", dna1.UnbondedExcludedVolume,
+         dna1.UnbondedExcludedVolumeConfiguration, {}),
+        ("hydrogen_bonding", dna1.HydrogenBonding, dna1.HydrogenBondingConfiguration,
+         overrides.get("hydrogen_bonding", {})),
+        ("cross_stacking", rna2.CrossStacking, rna2.CrossStackingConfiguration, {}),
+        ("coaxial_stacking", dna1.CoaxialStacking, dna1.CoaxialStackingConfiguration, {}),
+        ("debye", dna2.Debye, dna2.DebyeConfiguration,
+         {"kt": kt, "salt_conc": salt, "half_charged_ends": hce}),
+    ]
+    fns = []
+    for key, cls, cfg_cls, extra in terms:
+        kwargs = dict(common)
+        if dense and key in ("fene", "bonded_excluded_volume", "stacking"):
+            kwargs = {k: v for k, v in kwargs.items() if k != "dense_mask"}
+        fns.append(cls(params=cfg_cls(**(dict(params[key]) | extra)).init_params(), **kwargs))
+    return ComposedEnergyFunction(energy_fns=fns), trajectory
+
+
+@pytest.mark.parametrize("dirname", RNA2_INPUT_DIRS)
+def test_rna2_input_dirs_cross_path(test_data_dir, dirname):
+    base_dir = Path(test_data_dir) / dirname
+    if not base_dir.is_dir():
+        pytest.skip(f"{dirname} not available")
+    fn_pairs, trajectory = _rna2_fn_from_input(base_dir, dense=False)
+    fn_dense, _ = _rna2_fn_from_input(base_dir, dense=True)
+    state = trajectory.states[0].to_rigid_body()
+    e_pairs = float(fn_pairs(state))
+    e_dense = float(fn_dense(state))
+    assert np.isfinite(e_pairs)
+    np.testing.assert_allclose(e_dense, e_pairs, rtol=1e-9)
+
+
+@pytest.mark.parametrize("dirname", ["simple-helix-30bp", "simple-helix-80bp"])
+def test_dna1_large_helix_cross_path(test_data_dir, dirname):
+    """30/80bp helices (init.conf-only fixtures): pair vs dense parity."""
+    base_dir = Path(test_data_dir) / dirname
+    if not base_dir.is_dir():
+        pytest.skip(f"{dirname} not available")
+    topology = top.from_oxdna_file(base_dir / "sys.top")
+    inp = oxdna_input.read(base_dir / "input")
+    conf = base_dir / str(inp.get("conf_file", "init.conf"))
+    trajectory = traj.from_file(conf, topology.strand_counts, is_5p_3p=False)
+    box = oxdna_input.read_box_size(conf)
+    displacement_fn, _ = spaces.periodic(float(np.max(np.asarray(box))))
+    state = trajectory.states[0].to_rigid_body()
+
+    e_pairs = float(dna1.create_default_energy_fn(topology, displacement_fn)(state))
+    e_dense = float(
+        dna1.create_default_energy_fn(topology, displacement_fn, dense_unbonded=True)(state)
+    )
+    assert np.isfinite(e_pairs)
+    np.testing.assert_allclose(e_dense, e_pairs, rtol=1e-9)
