@@ -675,6 +675,40 @@ def _bwd_kernel_body(panel, rows_g, params, gt, spec: TileSpec):
     return jnp.concatenate([g_rows[:, :_HW], g_hw, g_oh, g_corr], axis=1)
 
 
+#: forces-only row-gradient widths: com/a1/a2/a3 (full/short kinds) or the
+#: backbone site alone (debye kind) -- the static fields (hb weights, charge
+#: factor) have no body dependence, so the Langevin force path skips their
+#: gradient machinery entirely (triangular hw matmuls, pseq swapped product)
+N_FORCE_FIELDS = 12
+N_FORCE_FIELDS_DEBYE = 3
+
+
+def _bwd_forces_kernel_body(panel, rows_g, params, gt, spec: TileSpec):
+    """(q*B, n_force_fields) body-field gradients only (the Langevin path).
+
+    Identical to :func:`_bwd_kernel_body` for the com/frame fields, but every
+    static field (hw/oh/corr/qf/partner) is stop_gradient'ed, so none of the
+    hb-weight gradient machinery is traced into the kernel.
+    """
+
+    def total(rows_in):
+        cut = _DB_QF if spec.kind == "debye" else _HW
+        rows_sg = jnp.concatenate(
+            [rows_in[:, :cut], jax.lax.stop_gradient(rows_in[:, cut:])], axis=1
+        )
+        rv = _Rows(rows_sg, spec)
+        mask = _tile_mask(rv, panel, spec, triangular=False)
+        energies, _ = _tile_energies(rv, panel, params, spec)
+        tot = 0.0
+        for t, e in enumerate(energies):
+            tot = tot + gt[t] * jnp.where(mask, e, 0.0).sum()
+        return tot
+
+    g_rows = jax.grad(total)(rows_g)
+    n_out = N_FORCE_FIELDS_DEBYE if spec.kind == "debye" else N_FORCE_FIELDS
+    return g_rows[:, :n_out]
+
+
 def _make_kernel(body_fn, writes_rows: bool, spec: TileSpec):
     """Kernel over G row blocks (G/q panel groups) per grid step.
 
@@ -766,19 +800,26 @@ def _fwd_impl(rows_rf, params_vec, sym_ids, spec: TileSpec):
     return out[0, : _n_terms(spec)]
 
 
-def _bwd_rows_impl(rows_rf, params_vec, sym_ids, gt, spec: TileSpec):
+def _bwd_rows_impl(rows_rf, params_vec, sym_ids, gt, spec: TileSpec, forces_only: bool = False):
     """Row-side gradients (d sum(gt . energies) / d rows) via the Pallas
     backward kernel alone -- no forward pass, no parameter gradients. This
-    is the whole force evaluation of the Langevin hot loop."""
+    is the whole force evaluation of the Langevin hot loop; ``forces_only``
+    restricts the output to the body-dependent fields (com/frames)."""
     gt_pad = jnp.zeros((1, 8), jnp.float32).at[0, : _n_terms(spec)].set(gt)
     in_specs, args, scratch = _pallas_args(rows_rf, params_vec, sym_ids, gt_pad, spec)
+    if forces_only:
+        body, width = _bwd_forces_kernel_body, (
+            N_FORCE_FIELDS_DEBYE if spec.kind == "debye" else N_FORCE_FIELDS
+        )
+    else:
+        body, width = _bwd_kernel_body, spec.n_grad_fields
     return pl.pallas_call(
-        _make_kernel(_bwd_kernel_body, writes_rows=True, spec=spec),
-        out_shape=jax.ShapeDtypeStruct((spec.n_pad, spec.n_grad_fields), jnp.float32),
+        _make_kernel(body, writes_rows=True, spec=spec),
+        out_shape=jax.ShapeDtypeStruct((spec.n_pad, width), jnp.float32),
         grid=(spec.nb_pad // spec.grid_g,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (spec.grid_g * spec.block_size, spec.n_grad_fields), lambda s: (s, 0)
+            (spec.grid_g * spec.block_size, width), lambda s: (s, 0)
         ),
         scratch_shapes=scratch,
         interpret=_interpret(),
@@ -1311,9 +1352,10 @@ def fused_grads_ctx(composed, ctxs: tuple, body_soa, sym_ids):
     for ctx, ids, rows in zip(ctxs, tables, rows_all, strict=True):
         spec = ctx.spec
         g_rows = _bwd_rows_impl(
-            rows, ctx.params_vec, pad_ids(spec, ids), _gt_of(ctx.unbonded), spec
+            rows, ctx.params_vec, pad_ids(spec, ids), _gt_of(ctx.unbonded), spec,
+            forces_only=True,
         )
-        pad = jnp.zeros((rows.shape[0], spec.n_fields - spec.n_grad_fields), rows.dtype)
+        pad = jnp.zeros((rows.shape[0], spec.n_fields - g_rows.shape[1]), rows.dtype)
         cots.append(jnp.concatenate([g_rows, pad], axis=1))
         unbonded = unbonded + ctx.unbonded
     (g_body,) = vjp_fn(tuple(cots))
