@@ -138,33 +138,46 @@ class FixedCapacityNeighborList:
     def idx(self) -> Arr:
         return self.idx_
 
-    def _build(self, centers: Arr) -> tuple[Arr, Arr]:
+    def _build(self, centers: Arr, prev: Arr | None = None) -> tuple[Arr, Arr]:
         n = centers.shape[0]
         dr = self.displacement_fn(centers[:, None, :], centers[None, :, :])
         dist2 = jnp.sum(dr * dr, axis=-1)
         cut2 = (self.r_cutoff + self.dr_threshold) ** 2
 
         iu = jnp.triu_indices(n, k=1)
-        hit = (dist2[iu] < cut2) & ~jnp.asarray(self.exclusion_mask)[iu]
+        d2u = dist2[iu]
+        hit = (d2u < cut2) & ~jnp.asarray(self.exclusion_mask)[iu]
 
-        # stable compaction: misses sort after hits, padded with index n
-        order = jnp.argsort(~hit)[: self.capacity]
+        # distance-prioritized compaction: the dropped pairs (if any) are the
+        # farthest — skin-zone pairs not interacting yet. Overflow is flagged
+        # only when pairs inside the BARE cutoff don't fit, or (given the
+        # previous list) when a pair interacting NOW was absent from it — the
+        # exact condition under which the last interval's forces were wrong.
+        order = jnp.argsort(jnp.where(hit, d2u, jnp.inf))[: self.capacity]
         valid = hit[order]
         pair_i = jnp.where(valid, iu[0][order], n)
         pair_j = jnp.where(valid, iu[1][order], n)
-        overflow = jnp.sum(hit) > self.capacity
+        hard = (d2u < self.r_cutoff * self.r_cutoff) & ~jnp.asarray(self.exclusion_mask)[iu]
+        overflow = jnp.sum(hard) > self.capacity
+        if prev is not None:
+            member = (
+                jnp.zeros((n + 1, n + 1), jnp.bool_)
+                .at[prev[0], prev[1]]
+                .set(True)[:n, :n]
+            )
+            overflow = overflow | jnp.any(hard & ~member[iu])
         return jnp.stack([pair_i, pair_j]), overflow
 
-    def build(self, centers: Arr) -> tuple[Arr, Arr]:
+    def build(self, centers: Arr, prev: Arr | None = None) -> tuple[Arr, Arr]:
         """Alias used by the simulator's carry-only-arrays scan path."""
-        return self._build(centers)
+        return self._build(centers, prev=prev)
 
     def allocate(self, centers: Arr) -> "FixedCapacityNeighborList":
         idx, overflow = self._build(centers)
         return self.replace(idx_=idx, did_overflow=overflow)
 
     def update(self, centers: Arr) -> "FixedCapacityNeighborList":
-        idx, overflow = self._build(centers)
+        idx, overflow = self._build(centers, prev=self.idx_)
         return self.replace(idx_=idx, did_overflow=self.did_overflow | overflow)
 
 
@@ -215,8 +228,17 @@ class BlockNeighborList:
     def n_blocks(self) -> int:
         return -(-self.n // self.block_size)
 
-    def _ids_from_components(self, x: Arr, y: Arr, z: Arr) -> tuple[Arr, Arr]:
-        """Shared AABB + compaction given (N,) position components."""
+    def _ids_from_components(
+        self, x: Arr, y: Arr, z: Arr, prev=None
+    ) -> tuple[Arr, Arr]:
+        """Shared AABB + compaction given (N,) position components.
+
+        ``prev`` (the table(s) from the previous rebuild, same structure as
+        the return value) switches on the missed-interaction detector: the
+        overflow flag is raised when a block pair is inside the *bare*
+        cutoff now but was absent from the previous table — the exact
+        condition under which forces were wrong during the last interval.
+        """
         nb, b_sz = self.n_blocks, self.block_size
         n_pad = nb * b_sz
 
@@ -240,28 +262,52 @@ class BlockNeighborList:
 
         col = jnp.arange(nb, dtype=jnp.int32)
 
-        def compact(cut: float, capacity: int) -> tuple[Arr, Arr]:
-            hit = dist2 < cut * cut
+        def tri(hit: Arr) -> Arr:
             if not self.symmetric:
-                hit = hit & (col[None, :] >= col[:, None])  # b >= a only
-            # top-k compaction (cheaper than a full row argsort): score hits
-            # by descending column order so top_k returns the hit columns
-            score = jnp.where(hit, (nb - col)[None, :].astype(jnp.int32), 0)
+                return hit & (col[None, :] >= col[:, None])  # b >= a only
+            return hit
+
+        def compact(cut_bare: float, capacity: int) -> tuple[Arr, Arr]:
+            cut = cut_bare + self.dr_threshold
+            hit = tri(dist2 < cut * cut)
+            # distance-prioritized compaction: when a row holds more hits
+            # than capacity, the FARTHEST blocks (the skin-zone ones) are the
+            # ones dropped. Overflow is then only flagged when blocks inside
+            # the BARE cutoff don't fit — a pair actually interacting now —
+            # while skin-zone drops are validated retroactively by the
+            # missed-interaction detector below.
+            score = jnp.where(hit, -dist2, -jnp.inf)
             k = min(capacity, nb)
             vals, idxs = jax.lax.top_k(score, k)
-            ids = jnp.where(vals > 0, idxs.astype(jnp.int32), nb)
+            ids = jnp.where(vals > -jnp.inf, idxs.astype(jnp.int32), nb)
+            ids = jnp.sort(ids, axis=1)  # deterministic ascending-column layout
             if k < capacity:  # keep the advertised (nb, capacity) shape
                 ids = jnp.pad(ids, ((0, 0), (0, capacity - k)), constant_values=nb)
-            overflow = jnp.any(jnp.sum(hit, axis=1) > capacity)
+            hard = tri(dist2 < cut_bare * cut_bare)
+            overflow = jnp.any(jnp.sum(hard, axis=1) > capacity)
             return ids, overflow
 
-        ids, overflow = compact(self.r_cutoff + self.dr_threshold, self.capacity)
+        def missed(prev_ids: Arr, cut_bare: float) -> Arr:
+            hit = tri(dist2 < cut_bare * cut_bare)
+            member = (
+                jnp.zeros((nb, nb + 1), jnp.bool_)
+                .at[jnp.arange(nb)[:, None], prev_ids]
+                .set(True)[:, :nb]
+            )
+            return jnp.any(hit & ~member)
+
+        ids, overflow = compact(self.r_cutoff, self.capacity)
         if self.r_cutoff_inner is None:
+            if prev is not None:
+                overflow = overflow | missed(prev, self.r_cutoff)
             return ids, overflow
-        ids_in, ovf_in = compact(
-            self.r_cutoff_inner + self.dr_threshold, self.capacity_inner
-        )
-        return (ids_in, ids), overflow | ovf_in
+        ids_in, ovf_in = compact(self.r_cutoff_inner, self.capacity_inner)
+        overflow = overflow | ovf_in
+        if prev is not None:
+            prev_in, prev_wide = prev
+            overflow = overflow | missed(prev_in, self.r_cutoff_inner)
+            overflow = overflow | missed(prev_wide, self.r_cutoff)
+        return (ids_in, ids), overflow
 
     def _apply_perm(self, c: Arr) -> Arr:
         from mythos_tpu.ops.oxdna_tiles import _interleave2, _is_interleave2
@@ -270,26 +316,32 @@ class BlockNeighborList:
             return _interleave2(c)
         return c[jnp.asarray(self.perm)]
 
-    def build_ids(self, centers: Arr) -> tuple[Arr, Arr]:
+    def build_ids(self, centers: Arr, prev=None) -> tuple[Arr, Arr]:
         """(n_blocks, capacity) active column-block table + overflow flag."""
         if self.perm is not None:
             centers = jnp.stack([self._apply_perm(centers[:, k]) for k in range(3)], axis=-1)
-        return self._ids_from_components(centers[:, 0], centers[:, 1], centers[:, 2])
+        return self._ids_from_components(
+            centers[:, 0], centers[:, 1], centers[:, 2], prev=prev
+        )
 
-    def build(self, centers) -> tuple[Arr, Arr]:
-        """Alias used by the simulator's scan path; accepts (N, 3) or Vec3."""
+    def build(self, centers, prev=None) -> tuple[Arr, Arr]:
+        """Alias used by the simulator's scan path; accepts (N, 3) or Vec3.
+
+        ``prev`` (the previous rebuild's table) arms the missed-interaction
+        detector — the simulator threads it through the scan carry.
+        """
         if isinstance(centers, tuple):  # soa.Vec3 NamedTuple
             if self.perm is not None:
                 centers = type(centers)(*(self._apply_perm(c) for c in centers))
-            return self._ids_from_components(*centers)
-        return self.build_ids(centers)
+            return self._ids_from_components(*centers, prev=prev)
+        return self.build_ids(centers, prev=prev)
 
     def allocate(self, centers: Arr) -> "BlockNeighborList":
         ids, overflow = self.build_ids(centers)
         return self.replace(block_ids_=ids, did_overflow=overflow)
 
     def update(self, centers: Arr) -> "BlockNeighborList":
-        ids, overflow = self.build_ids(centers)
+        ids, overflow = self.build_ids(centers, prev=self.block_ids_)
         return self.replace(
             block_ids_=ids,
             did_overflow=overflow if self.did_overflow is None else self.did_overflow | overflow,

@@ -330,7 +330,9 @@ def build_run_fn(
             overflow0 = (
                 nbrs0.did_overflow if nbrs0.did_overflow is not None else jnp.asarray(False)
             )
-            carry0 = (state, overflow0)
+            # the previous rebuild's table rides the carry so each rebuild
+            # can run the missed-interaction detector against it
+            carry0 = (state, overflow0, nbrs0.idx)
 
             def centers_of(state):
                 return state.position.center
@@ -341,10 +343,10 @@ def build_run_fn(
                     raise ValueError(ERR_UPDATE_EVERY.format(u, n_steps))
 
                 def apply_fn(carry, _):
-                    state, overflow = carry
-                    idx, ovf = nbrs0.build(centers_of(state))
+                    state, overflow, prev = carry
+                    idx, ovf = nbrs0.build(centers_of(state), prev=prev)
                     state, pos = inner_steps_emit(state, idx, u)
-                    return (state, overflow | ovf), pos
+                    return (state, overflow | ovf, idx), pos
 
                 final, trajectory = scan_fn(apply_fn, carry0, None, length=n_steps // u)
                 overflow = final[1]
@@ -355,14 +357,14 @@ def build_run_fn(
                     raise ValueError(ERR_UPDATE_EVERY.format(u, save_every))
 
                 def rebuild_chunk(carry, _):
-                    state, overflow = carry
-                    idx, ovf = nbrs0.build(centers_of(state))
+                    state, overflow, prev = carry
+                    idx, ovf = nbrs0.build(centers_of(state), prev=prev)
                     state = inner_steps(state, idx, u)
-                    return (state, overflow | ovf), None
+                    return (state, overflow | ovf, idx), None
 
                 def apply_fn(carry, _):
                     carry, _ = jax.lax.scan(rebuild_chunk, carry, None, length=save_every // u)
-                    return carry, carry[0].position
+                    return carry, carry[0].position  # carry = (state, overflow, prev)
 
                 final, trajectory = scan_fn(apply_fn, carry0, None, length=n_steps // save_every)
                 overflow = final[1]

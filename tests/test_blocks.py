@@ -109,6 +109,92 @@ def test_block_overflow_flag():
     assert bool(overflow)
 
 
+def _line_of_blocks(xs, b_sz=4):
+    """Blocks of b_sz coincident particles at x positions ``xs``."""
+    centers = np.zeros((len(xs) * b_sz, 3))
+    for k, x in enumerate(xs):
+        centers[k * b_sz : (k + 1) * b_sz, 0] = x
+    return jnp.asarray(centers)
+
+
+def test_block_drop_keeps_nearest_no_false_overflow():
+    """Skin-zone blocks are dropped first and don't raise the overflow flag."""
+    b_sz = 4
+    centers = _line_of_blocks([0.0, 0.9, 1.7, 2.5], b_sz)
+    nbl = BlockNeighborList(
+        displacement_fn=spaces.free()[0],
+        block_size=b_sz,
+        capacity=2,
+        r_cutoff=1.0,
+        dr_threshold=1.0,
+        n=centers.shape[0],
+    )
+    ids, overflow = jax.jit(nbl.build_ids)(centers)
+    # row 0 hits {0, 1, 2} at cutoff+skin but only {0, 1} at the bare
+    # cutoff: capacity 2 must keep the two NEAREST and not flag overflow
+    assert list(np.asarray(ids)[0]) == [0, 1]
+    assert not bool(overflow)
+
+
+def test_block_missed_interaction_detector():
+    """A pair inside the bare cutoff absent from the previous table flags."""
+    b_sz = 4
+    centers = _line_of_blocks([0.0, 0.9, 1.7], b_sz)
+    nbl = BlockNeighborList(
+        displacement_fn=spaces.free()[0],
+        block_size=b_sz,
+        capacity=3,
+        r_cutoff=1.0,
+        dr_threshold=1.0,
+        n=centers.shape[0],
+    )
+    ids, overflow = nbl.build_ids(centers)
+    assert not bool(overflow)
+    # a complete previous table is clean
+    _, ovf_clean = nbl.build_ids(centers, prev=ids)
+    assert not bool(ovf_clean)
+    # censor (0, 1) — within the bare cutoff — from the previous table
+    nb = nbl.n_blocks
+    censored = np.asarray(ids).copy()
+    censored[0][censored[0] == 1] = nb
+    _, ovf = nbl.build_ids(centers, prev=jnp.asarray(censored))
+    assert bool(ovf)
+    # censoring a SKIN-zone block (0, 2 at distance 1.7 > r_cutoff) is fine
+    censored2 = np.asarray(ids).copy()
+    censored2[0][censored2[0] == 2] = nb
+    _, ovf2 = nbl.build_ids(centers, prev=jnp.asarray(censored2))
+    assert not bool(ovf2)
+
+
+def test_pair_list_drop_keeps_nearest_and_missed_detector():
+    """FixedCapacityNeighborList: same drop-farthest + missed-pair semantics."""
+    from mythos_tpu.simulators.neighbors import FixedCapacityNeighborList
+
+    centers = jnp.asarray([[0.0, 0, 0], [0.9, 0, 0], [1.7, 0, 0]])
+    n = 3
+    nbl = FixedCapacityNeighborList(
+        displacement_fn=spaces.free()[0],
+        exclusion_mask=jnp.zeros((n, n), bool),
+        r_cutoff=1.0,
+        dr_threshold=1.0,
+        capacity=2,
+    )
+    # hits at cutoff+skin: (0,1) d=0.9, (0,2) d=1.7, (1,2) d=0.8 — capacity 2
+    # keeps the two nearest; only (0,2) is beyond the bare cutoff: no flag
+    idx, overflow = nbl._build(centers)
+    pairs = {tuple(p) for p in np.asarray(idx).T if p[0] < n}
+    assert pairs == {(1, 2), (0, 1)}
+    assert not bool(overflow)
+    # previous list missing the interacting pair (0, 1) must flag
+    prev = jnp.asarray([[1, n], [2, n]])
+    _, ovf = nbl._build(centers, prev=prev)
+    assert bool(ovf)
+    # previous list missing only the skin pair (0, 2) is clean
+    prev2 = jnp.asarray([[1, 0], [2, 1]])
+    _, ovf2 = nbl._build(centers, prev=prev2)
+    assert not bool(ovf2)
+
+
 def test_bonded_partner_table():
     bonded = np.array([[0, 1], [1, 2], [4, 5]])
     prev, nxt = blocks.bonded_partner_table(8, bonded)

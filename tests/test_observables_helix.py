@@ -47,9 +47,9 @@ def test_propeller_twist_near_zero_on_ideal_helix(helix_traj):
     )
     vals = np.asarray(obs(traj))
     assert vals.shape == (2,)
-    # the two strands' base normals are exactly anti-parallel on this
-    # synthetic helix (strand 2 flips a3) -> 180 deg, zero propeller twist
-    np.testing.assert_allclose(vals, 180.0, atol=1.0)
+    # paired base planes are exactly coplanar on the ideal synthetic helix
+    # (a3 anti-parallel across the pair) -> zero propeller twist
+    np.testing.assert_allclose(vals, 0.0, atol=1.0)
 
 
 def test_rise_matches_construction(helix_traj):
