@@ -241,7 +241,11 @@ def _unpack_params(p_ref, treedef, leaf_meta):
         if kind == "s":
             leaves.append(info.thaw() if isinstance(info, _FrozenStatic) else info)
             continue
-        if size == 1:
+        if size == 0:
+            # zero-size leaves (e.g. an all-paired pseq's empty unpaired
+            # table) lower to invalid Mosaic vector types if sliced
+            leaves.append(jnp.zeros(info, jnp.float32))
+        elif size == 1:
             leaves.append(p_ref[0, off])
         else:
             leaves.append(p_ref[0, off : off + size].reshape(info))
@@ -399,6 +403,14 @@ def _r(v: Vec3):
     return jnp.sqrt(vdot(v, v) + 1e-18)
 
 
+def _bare(cls, prm):
+    """Instantiate a term class with params alone (the product functions
+    read nothing else)."""
+    obj = object.__new__(cls)
+    object.__setattr__(obj, "params", prm)
+    return obj
+
+
 def _tile_energies(rows: "_Rows", panel, params, spec: TileSpec):
     """All term energies on one (B, M) tile panel.
 
@@ -427,11 +439,6 @@ def _tile_energies(rows: "_Rows", panel, params, spec: TileSpec):
         )
         qf = rows.field(_DB_QF) * panel[_DB_QF : _DB_QF + 1, :]
         return [dgs * qf], (None, None)
-
-    def _bare(cls, prm):
-        obj = object.__new__(cls)
-        object.__setattr__(obj, "params", prm)
-        return obj
 
     if spec.has_debye:
         (p_exc, p_hb, p_cross, p_coax, p_debye) = params
@@ -709,6 +716,251 @@ def _bwd_forces_kernel_body(panel, rows_g, params, gt, spec: TileSpec):
     return g_rows[:, :n_out]
 
 
+#: use the hand-Jacobian forces body for the Langevin hot loop (tests flip
+#: this to cross-check the two force computations against each other)
+ANALYTIC_FORCES = True
+
+
+def _reduce_row_fields(fields, spec: TileSpec):
+    """Lane-group row reductions: each (B, M) tile sums to (q*B, 1) -- lane
+    group qq carries row block qq's columns -- concatenated over fields."""
+    cols = []
+    for t in fields:
+        if spec.q == 1:
+            cols.append(t.sum(axis=1, keepdims=True))
+        else:
+            cols.append(
+                jnp.concatenate(
+                    [
+                        jnp.where(_lane_group_mask(spec, qq), t, 0.0).sum(
+                            axis=1, keepdims=True
+                        )
+                        for qq in range(spec.q)
+                    ],
+                    axis=0,
+                )
+            )
+    return jnp.concatenate(cols, axis=1)
+
+
+def _bwd_forces_analytic_body(panel, rows_g, params, gt, spec: TileSpec):
+    """(q*B, n_force_fields) body gradients with hand-coded geometry Jacobians.
+
+    Same contract as :func:`_bwd_forces_kernel_body`, restructured for the
+    VPU: the tile energy is expressed through a scalar bottleneck S (five
+    pair distances, eight arccos arguments, two dihedral cosines); reverse
+    mode runs only through the elementwise f1..f6/arccos chains (dE/dS), and
+    dS/d(com, a1, a2, a3) is accumulated with the closed-form vector
+    Jacobians
+
+        d r / dv            = u                      (u = v/r)
+        d (sigma a.v/r) /dv = (sigma a - c u) / r    (c the arccos argument)
+        d (u.w) / dv        = (w - (u.w) u) / r      (w independent of v)
+
+    for each pair vector v (j minus i). This avoids replaying the vector
+    geometry graph in reverse -- the broadcast transposes and per-field
+    reductions that dominated the AD backward (benchmarks/RESULTS.md kernel
+    profile); the only cross-lane work left is one masked reduction per
+    output field. Energy formula source: :func:`_tile_energies` (the scalar
+    definitions mirror geometry.unbonded_geometry_vec / coax_geometry_vec).
+    """
+    from mythos_tpu.soa import vcross, vdot
+    from mythos_tpu.utils.math import arccos_poly
+
+    import mythos_tpu.energy.dna1.terms as t1
+
+    rv = _Rows(rows_g, spec)
+    mask = _tile_mask(rv, panel, spec, triangular=False)
+
+    if spec.kind == "debye":
+        import mythos_tpu.energy.dna2.terms as t2
+
+        (p_debye,) = params
+        back_i = rv.vec3(_DB_BACK)
+        back_j = _vec(panel, _DB_BACK, False)
+        v = _disp(back_j, back_i)
+        r = _r(v)
+        qf = rv.field(_DB_QF) * panel[_DB_QF : _DB_QF + 1, :]
+
+        def total_db(r_):
+            e = (
+                t2.debye_potential(
+                    r_,
+                    p_debye.kappa,
+                    p_debye.prefactor,
+                    p_debye.smoothing_coeff,
+                    p_debye.r_cut,
+                    p_debye.r_high,
+                )
+                * qf
+            )
+            return gt[0] * jnp.where(mask, e, 0.0).sum()
+
+        s = jax.grad(total_db)(r) / r  # dE/dback_i = -(dE/dr) u
+        return _reduce_row_fields([-s * v.x, -s * v.y, -s * v.z], spec)
+
+    if spec.has_debye:
+        p_exc, p_hb, p_cross, p_coax, p_debye = params
+    else:
+        (p_exc, p_hb, p_cross, p_coax), p_debye = params, None
+
+    com_i, a1_i, a2_i, a3_i = (rv.vec3(o) for o in (_COM, _A1, _A2, _A3))
+    com_j, a1_j, a2_j, a3_j = (_vec(panel, o, False) for o in (_COM, _A1, _A2, _A3))
+    stack_i, back_i, base_i = _derive_sites(com_i, a1_i, a2_i, spec.geometry)
+    stack_j, back_j, base_j = _derive_sites(com_j, a1_j, a2_j, spec.geometry)
+
+    # pair vectors (j minus i) and the scalar bottleneck
+    v_ee = _disp(base_j, base_i)
+    r_ee = _r(v_ee)
+    inv_ee = 1.0 / r_ee
+    u_ee = v_ee * inv_ee
+    v_eb = _disp(base_j, back_i)
+    r_eb = _r(v_eb)
+    v_be = _disp(back_j, base_i)
+    r_be = _r(v_be)
+    v_bb = _disp(back_j, back_i)
+    r_bb = _r(v_bb)
+    inv_bb = 1.0 / r_bb
+    u_bb = v_bb * inv_bb
+    v_st = _disp(stack_j, stack_i)
+    r_st = _r(v_st)
+    inv_st = 1.0 / r_st
+    u_st = v_st * inv_st
+
+    ct1 = -vdot(a1_i, a1_j)
+    ct2 = -vdot(a1_j, v_ee) * inv_ee
+    ct3 = vdot(a1_i, v_ee) * inv_ee
+    ct4 = vdot(a3_i, a3_j)
+    ct7 = -vdot(a3_j, v_ee) * inv_ee
+    ct8 = vdot(a3_i, v_ee) * inv_ee
+    ct5 = vdot(a3_i, u_st)
+    ct6 = -vdot(a3_j, u_st)
+    w3 = vcross(u_bb, a1_j)
+    p3 = vdot(u_st, w3)
+    w4 = vcross(u_bb, a1_i)
+    p4 = vdot(u_st, w4)
+
+    # static hb weight / charge factors (forces never differentiate them)
+    weight = 0.0
+    for k in range(4):
+        weight = weight + rv.field(_HW + k) * panel[_OH + k : _OH + k + 1, :]
+    if spec.pseq:
+        same = panel[_GID : _GID + 1, :] == rv.field(_PARTNER)
+        weight = weight + jnp.where(same, rv.field(_CORR), 0.0)
+    qf = rv.field(_QF) * panel[_QF : _QF + 1, :] if spec.has_debye else None
+
+    def total(S):
+        (r_ee_, r_eb_, r_be_, r_bb_, r_st_, c1, c2, c3, c4, c7, c8, c5, c6, q3, q4) = S
+        e_exc = (
+            t1._exc_vol_f3(r_ee_, p_exc.eps_exc, p_exc.dr_star_base, p_exc.sigma_base, p_exc.b_base, p_exc.dr_c_base)
+            + t1._exc_vol_f3(r_eb_, p_exc.eps_exc, p_exc.dr_star_back_base, p_exc.sigma_back_base, p_exc.b_back_base, p_exc.dr_c_back_base)
+            + t1._exc_vol_f3(r_be_, p_exc.eps_exc, p_exc.dr_star_base_back, p_exc.sigma_base_back, p_exc.b_base_back, p_exc.dr_c_base_back)
+            + t1._exc_vol_f3(r_bb_, p_exc.eps_exc, p_exc.dr_star_backbone, p_exc.sigma_backbone, p_exc.b_backbone, p_exc.dr_c_backbone)
+        )
+        g_ub = geom.UnbondedGeometry(
+            dr_base=None,
+            r_base=r_ee_,
+            theta1=arccos_poly(c1),
+            theta2=arccos_poly(c2),
+            theta3=arccos_poly(c3),
+            theta4=arccos_poly(c4),
+            theta7=arccos_poly(c7),
+            theta8=jnp.pi - arccos_poly(c8),
+        )
+        e_hb = _bare(t1.HydrogenBonding, p_hb).hb_product(g_ub) * weight
+        e_cross = _bare(t1.CrossStacking, p_cross).cross_product_term(g_ub)
+        g_cx = geom.CoaxGeometry(
+            dr_stack=None,
+            r_stack=r_st_,
+            theta1=g_ub.theta1,
+            theta4=g_ub.theta4,
+            theta5=arccos_poly(c5),
+            theta6=arccos_poly(c6),
+            cosphi3=q3,
+            cosphi4=q4,
+        )
+        if spec.coax_variant == "dna2":
+            import mythos_tpu.energy.dna2.terms as t2
+
+            e_coax = _bare(t2.CoaxialStacking, p_coax)._coax_value(g_cx)
+        else:
+            e_coax = _bare(t1.CoaxialStacking, p_coax).coax_product(g_cx)
+        terms = [e_exc, e_hb, e_cross, e_coax]
+        if p_debye is not None:
+            import mythos_tpu.energy.dna2.terms as t2
+
+            terms.append(
+                t2.debye_potential(
+                    r_bb_,
+                    p_debye.kappa,
+                    p_debye.prefactor,
+                    p_debye.smoothing_coeff,
+                    p_debye.r_cut,
+                    p_debye.r_high,
+                )
+                * qf
+            )
+        tot = 0.0
+        for t, e in enumerate(terms):
+            tot = tot + gt[t] * jnp.where(mask, e, 0.0).sum()
+        return tot
+
+    S = (r_ee, r_eb, r_be, r_bb, r_st, ct1, ct2, ct3, ct4, ct7, ct8, ct5, ct6, p3, p4)
+    (
+        g_ree, g_reb, g_rbe, g_rbb, g_rst,
+        g_c1, g_c2, g_c3, g_c4, g_c7, g_c8, g_c5, g_c6, g_p3, g_p4,
+    ) = jax.grad(total)(S)
+
+    # dE/d(pair vector) per pair vector; the _bare _Rows accessor makes these
+    # (B, M) tiles, lane-grouped when q > 1
+    m3 = vcross(a1_j, u_st)  # dp3/dv_bb direction: p3 = u_bb . (a1_j x u_st)
+    m4 = vcross(a1_i, u_st)
+    g_ee = (
+        u_ee * (g_ree - (g_c2 * ct2 + g_c3 * ct3 + g_c7 * ct7 + g_c8 * ct8) * inv_ee)
+        + (a1_i * g_c3 - a1_j * g_c2 + a3_i * g_c8 - a3_j * g_c7) * inv_ee
+    )
+    g_eb = v_eb * (g_reb / r_eb)
+    g_be = v_be * (g_rbe / r_be)
+    g_bb = (
+        u_bb * (g_rbb - (g_p3 * p3 + g_p4 * p4) * inv_bb)
+        + (m3 * g_p3 + m4 * g_p4) * inv_bb
+    )
+    g_st = (
+        u_st * (g_rst - (g_c5 * ct5 + g_c6 * ct6 + g_p3 * p3 + g_p4 * p4) * inv_st)
+        + (a3_i * g_c5 - a3_j * g_c6 + w3 * g_p3 + w4 * g_p4) * inv_st
+    )
+
+    variant, offs = spec.geometry
+    if variant == "dna2":
+        bx, by, hb_off, st_off = offs
+        a1_back, a2_back = bx, by
+    else:
+        bb_off, hb_off, st_off = offs
+        a1_back, a2_back = bb_off, 0.0
+
+    g_base = g_ee + g_be  # pair vectors whose i-side site is base_i
+    g_back = g_eb + g_bb  # ... back_i
+    d_com = -(g_base + g_back + g_st)
+    d_a1 = (
+        -(g_base * hb_off + g_back * a1_back + g_st * st_off)
+        - a1_j * g_c1
+        + u_ee * g_c3
+        + vcross(u_st, u_bb) * g_p4
+    )
+    d_a2 = g_back * (-a2_back)
+    d_a3 = a3_j * g_c4 + u_ee * g_c8 + u_st * g_c5
+
+    return _reduce_row_fields(
+        [
+            d_com.x, d_com.y, d_com.z,
+            d_a1.x, d_a1.y, d_a1.z,
+            d_a2.x, d_a2.y, d_a2.z,
+            d_a3.x, d_a3.y, d_a3.z,
+        ],
+        spec,
+    )
+
+
 def _make_kernel(body_fn, writes_rows: bool, spec: TileSpec):
     """Kernel over G row blocks (G/q panel groups) per grid step.
 
@@ -808,9 +1060,9 @@ def _bwd_rows_impl(rows_rf, params_vec, sym_ids, gt, spec: TileSpec, forces_only
     gt_pad = jnp.zeros((1, 8), jnp.float32).at[0, : _n_terms(spec)].set(gt)
     in_specs, args, scratch = _pallas_args(rows_rf, params_vec, sym_ids, gt_pad, spec)
     if forces_only:
-        body, width = _bwd_forces_kernel_body, (
-            N_FORCE_FIELDS_DEBYE if spec.kind == "debye" else N_FORCE_FIELDS
-        )
+        body, width = (
+            _bwd_forces_analytic_body if ANALYTIC_FORCES else _bwd_forces_kernel_body
+        ), (N_FORCE_FIELDS_DEBYE if spec.kind == "debye" else N_FORCE_FIELDS)
     else:
         body, width = _bwd_kernel_body, spec.n_grad_fields
     return pl.pallas_call(

@@ -86,7 +86,30 @@ def test_fused_grads_soa_matches_grad_of_energy(system):
             np.asarray(jnp.stack(tuple(got), -1)),
             np.asarray(jnp.stack(tuple(want), -1)),
             rtol=1e-5,
-            atol=1e-6,
+            atol=5e-6,  # the analytic-Jacobian body rounds differently
+        )
+
+
+@pytest.mark.slow
+def test_analytic_forces_match_ad_forces(system, monkeypatch):
+    # the hand-Jacobian forces body (the hot-loop default) against the
+    # jax.grad-in-kernel body: two independent computations of the same
+    # derivative, so agreement validates the closed-form geometry Jacobians
+    _, body, _, e, _, nbl_sym = system
+    bsoa = soa.to_soa(body)
+    assert oxdna_tiles.ANALYTIC_FORCES  # analytic is the default
+    g_an = oxdna_tiles.fused_grads_soa(e, bsoa, nbl_sym.idx, B)
+    monkeypatch.setattr(oxdna_tiles, "ANALYTIC_FORCES", False)
+    g_ad = oxdna_tiles.fused_grads_soa(e, bsoa, nbl_sym.idx, B)
+    for got, want in (
+        (g_an.center, g_ad.center),
+        (g_an.orientation, g_ad.orientation),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(jnp.stack(tuple(got), -1)),
+            np.asarray(jnp.stack(tuple(want), -1)),
+            rtol=1e-5,
+            atol=5e-6,
         )
 
 
