@@ -76,6 +76,13 @@ def bench_spec(label, composed, body_soa, ids, spec_kind, ot):
     gt = jnp.ones((ot._n_terms(spec),), jnp.float32)
     timeit(f"{label} bwd rows kernel", scan_k(
         lambda rows: ot._bwd_rows_impl(rows, params_vec, ids_p, gt, spec)), rows_rf)
+    ot.ANALYTIC_FORCES = True
+    timeit(f"{label} forces analytic", scan_k(
+        lambda rows: ot._bwd_rows_impl(rows, params_vec, ids_p, gt, spec, forces_only=True)), rows_rf)
+    ot.ANALYTIC_FORCES = False
+    timeit(f"{label} forces AD", scan_k(
+        lambda rows: ot._bwd_rows_impl(rows, params_vec, ids_p, gt, spec, forces_only=True)), rows_rf)
+    ot.ANALYTIC_FORCES = True
 
     # assembly-only: same grid/assembly, body = sum(panel)
     def assembly_body(panel, rows_g, params, gtv, s):

@@ -487,7 +487,8 @@ class ComposedEnergyFunction(EnergyFunction):
         # fields would otherwise re-execute per state (XLA does not hoist
         # out of loop bodies)
         ctxs = oxdna_tiles.prepare_contexts(
-            self, nbl.idx, nbl.block_size, perm=getattr(nbl, "perm", None)
+            self, nbl.idx, nbl.block_size, perm=getattr(nbl, "perm", None),
+            banded=getattr(nbl, "banded", False),
         )
 
         def one(body: RigidBody) -> Scalar:

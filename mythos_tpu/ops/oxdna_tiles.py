@@ -134,6 +134,11 @@ class TileSpec(NamedTuple):
     kind: str = "full"  # "full" | "short" | "debye"
     q: int = 1  # row blocks sharing one panel
     pseq: bool = False  # hb weights from sequence-distribution marginals
+    #: the table's cap slots per row are CONSECUTIVE block ids (a banded
+    #: window, simulators/neighbors.BlockNeighborList(banded=True)): panel
+    #: assembly takes one contiguous (cap*B, F) slice per lane group instead
+    #: of cap scattered (B, F) slices
+    banded: bool = False
 
     @property
     def panel(self) -> int:
@@ -581,6 +586,17 @@ def _assemble_panel(ids_ref, g0, src_ref, panel_rows, spec: TileSpec):
     k holds row block g0+k's ``cap`` column-block slots as sublane slices.
     """
     b_sz, nb = spec.block_size, spec.n_blocks
+    if spec.banded:
+        # consecutive slots: one contiguous window slice per lane group.
+        # Slot 0 is the window start; clamp so the slice stays inside the
+        # padded rows array (pad_ids lane-padding may widen cap past the
+        # build's window; shifted windows pull real rows that are beyond
+        # every cutoff, which contribute exactly zero)
+        w = spec.cap * b_sz
+        for qq in range(spec.q):
+            start = jnp.minimum(ids_ref[g0 + qq, 0], spec.nb_pad - spec.cap) * b_sz
+            panel_rows[qq * w : (qq + 1) * w, :] = src_ref[pl.ds(start, w), :]
+        return panel_rows[...].T  # (F, M)
     for qq in range(spec.q):
         for k in range(spec.cap):
             idk = ids_ref[g0 + qq, k]
@@ -1293,7 +1309,8 @@ class TileContext(NamedTuple):
 
 
 def prepare_tile_context(
-    composed, sym_ids, block_size: int, kind: str = "full", perm=None
+    composed, sym_ids, block_size: int, kind: str = "full", perm=None,
+    banded: bool = False,
 ) -> TileContext:
     """Build the loop-invariant TileContext for one block table.
 
@@ -1368,6 +1385,7 @@ def prepare_tile_context(
         kind=kind,
         q=q,
         pseq=pseq_flag,
+        banded=banded,
     )
 
     bonded = np.asarray(first.bonded_neighbors)
@@ -1510,15 +1528,17 @@ def build_tile_inputs(
     return rows_rf, ctx.params_vec, pad_ids(ctx.spec, sym_ids), ctx.spec, ctx.unbonded
 
 
-def prepare_contexts(composed, sym_ids, block_size: int, perm=None) -> tuple:
+def prepare_contexts(
+    composed, sym_ids, block_size: int, perm=None, banded: bool = False
+) -> tuple:
     """TileContexts for one table ("full") or a (tight, wide) pair
     ("short" + "debye"). Call ONCE per run, outside any stepping scan."""
     if isinstance(sym_ids, (tuple, list)):
         return (
-            prepare_tile_context(composed, sym_ids[0], block_size, "short", perm),
-            prepare_tile_context(composed, sym_ids[1], block_size, "debye", perm),
+            prepare_tile_context(composed, sym_ids[0], block_size, "short", perm, banded),
+            prepare_tile_context(composed, sym_ids[1], block_size, "debye", perm, banded),
         )
-    return (prepare_tile_context(composed, sym_ids, block_size, "full", perm),)
+    return (prepare_tile_context(composed, sym_ids, block_size, "full", perm, banded),)
 
 
 def _as_tables(sym_ids) -> tuple:
@@ -1559,7 +1579,9 @@ def fused_energy_ctx(composed, ctxs: tuple, body_soa, sym_ids):
     return total
 
 
-def fused_energy_soa(composed, body_soa, sym_ids, block_size: int, perm=None):
+def fused_energy_soa(
+    composed, body_soa, sym_ids, block_size: int, perm=None, banded: bool = False
+):
     """One-shot wrapper: prepare contexts + fused_energy_ctx.
 
     ``sym_ids`` may be one symmetric block table, or a (tight, wide) pair
@@ -1571,7 +1593,10 @@ def fused_energy_soa(composed, body_soa, sym_ids, block_size: int, perm=None):
     otherwise (no hoisting out of while-loop bodies).
     """
     return fused_energy_ctx(
-        composed, prepare_contexts(composed, sym_ids, block_size, perm), body_soa, sym_ids
+        composed,
+        prepare_contexts(composed, sym_ids, block_size, perm, banded),
+        body_soa,
+        sym_ids,
     )
 
 
@@ -1631,9 +1656,14 @@ def fused_grads_ctx(composed, ctxs: tuple, body_soa, sym_ids):
     return g_body
 
 
-def fused_grads_soa(composed, body_soa, sym_ids, block_size: int, perm=None):
+def fused_grads_soa(
+    composed, body_soa, sym_ids, block_size: int, perm=None, banded: bool = False
+):
     """One-shot wrapper: prepare contexts + fused_grads_ctx (see
     fused_energy_soa for why hot loops must prepare once instead)."""
     return fused_grads_ctx(
-        composed, prepare_contexts(composed, sym_ids, block_size, perm), body_soa, sym_ids
+        composed,
+        prepare_contexts(composed, sym_ids, block_size, perm, banded),
+        body_soa,
+        sym_ids,
     )

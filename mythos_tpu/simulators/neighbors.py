@@ -217,6 +217,14 @@ class BlockNeighborList:
     #: formed over the PERMUTED layout (see strand_interleave_perm); the
     #: fused kernels must receive the same perm (ops/oxdna_tiles).
     perm: Arr | None = None
+    #: banded compaction: each row's ``capacity`` slots are CONSECUTIVE
+    #: block ids (a contiguous window covering all hits). The fused kernels
+    #: then assemble each panel lane group with one contiguous slice instead
+    #: of ``capacity`` scattered ones (ops/oxdna_tiles TileSpec.banded).
+    #: Within-window non-hits are included and contribute exactly zero (all
+    #: potentials vanish beyond their cutoffs); hits outside the window
+    #: raise the overflow flag. Only meaningful with ``symmetric=True``.
+    banded: bool = False
     block_ids_: Arr | None = None
     did_overflow: Arr | None = None
 
@@ -267,7 +275,26 @@ class BlockNeighborList:
                 return hit & (col[None, :] >= col[:, None])  # b >= a only
             return hit
 
+        def compact_banded(cut_bare: float, capacity: int) -> tuple[Arr, Arr]:
+            cut = cut_bare + self.dr_threshold
+            hit = tri(dist2 < cut * cut)
+            # window start: first hit, clamped so [start, start+cap) stays
+            # in range; span-overflow = any bare-cutoff hit outside the
+            # window (skin-zone drops are validated by the missed-interaction
+            # detector, as in the scattered path)
+            start = jnp.min(jnp.where(hit, col[None, :], nb), axis=1)
+            start = jnp.clip(start, 0, max(0, nb - capacity)).astype(jnp.int32)
+            ids = start[:, None] + jnp.arange(capacity, dtype=jnp.int32)[None, :]
+            hard = tri(dist2 < cut_bare * cut_bare)
+            outside = (col[None, :] < start[:, None]) | (
+                col[None, :] >= start[:, None] + capacity
+            )
+            overflow = jnp.any(hard & outside)
+            return ids, overflow
+
         def compact(cut_bare: float, capacity: int) -> tuple[Arr, Arr]:
+            if self.banded:
+                return compact_banded(cut_bare, capacity)
             cut = cut_bare + self.dr_threshold
             hit = tri(dist2 < cut * cut)
             # distance-prioritized compaction: when a row holds more hits
@@ -368,6 +395,16 @@ def strand_interleave_perm(topology) -> np.ndarray | None:
     return perm
 
 
+def _max_span(ids: np.ndarray, nblk: int) -> int:
+    """Largest contiguous block-index span covering a row's hits (the
+    banded-window size a row needs)."""
+    valid = ids < nblk
+    anyv = valid.any(axis=1)
+    first = np.where(valid, ids, nblk).min(axis=1)
+    last = np.where(valid, ids, -1).max(axis=1)
+    return int(np.max(np.where(anyv, last - first + 1, 0)))
+
+
 def _snap_capacity(hits: int, block_size: int, multiplier: float, symmetric: bool) -> int:
     """Capacity from an observed per-row hit count.
 
@@ -402,6 +439,7 @@ def block_neighbor_list_for_topology(
     symmetric: bool = False,
     r_cutoff_inner: float | None = None,
     perm: Arr | None = None,
+    banded: bool | None = None,
 ) -> BlockNeighborList:
     """Build a BlockNeighborList sized from initial positions.
 
@@ -410,6 +448,11 @@ def block_neighbor_list_for_topology(
     expensive short-range terms off the wide (Debye-sized) table.
     ``perm`` applies a static spatial reordering before blocking (see
     strand_interleave_perm).
+
+    ``banded=None`` auto-enables banded (consecutive-slot) tables on the
+    symmetric path when the initial hits are contiguous enough that the
+    window costs no extra capacity (spatially coherent layouts -- e.g. the
+    duplex interleave -- make hits near-contiguous in block index).
     """
     n = topology.n_nucleotides
     # the block tile masks exclude bonded pairs via 3'/5' partner rows
@@ -450,18 +493,39 @@ def block_neighbor_list_for_topology(
             ids_in, ids = ids
         hits = int(np.max(np.sum(np.asarray(ids) < probe.n_blocks, axis=1)))
         cap = min(probe.n_blocks, _snap_capacity(hits, block_size, capacity_multiplier, symmetric))
+        span = _max_span(np.asarray(ids), probe.n_blocks)
+        cap_band = min(
+            probe.n_blocks, _snap_capacity(span, block_size, capacity_multiplier, symmetric)
+        )
+        use_banded = (
+            symmetric
+            and probe.n_blocks > cap_band
+            and (banded if banded is not None else cap_band <= cap)
+        )
+        if use_banded:
+            cap = cap_band
         cap_in = 0
         if ids_in is not None:
-            hits_in = int(np.max(np.sum(np.asarray(ids_in) < probe.n_blocks, axis=1)))
+            if use_banded:
+                n_in = _max_span(np.asarray(ids_in), probe.n_blocks)
+            else:
+                n_in = int(np.max(np.sum(np.asarray(ids_in) < probe.n_blocks, axis=1)))
             cap_in = min(
-                probe.n_blocks, _snap_capacity(hits_in, block_size, capacity_multiplier, symmetric)
+                probe.n_blocks, _snap_capacity(n_in, block_size, capacity_multiplier, symmetric)
             )
             if cap_in >= cap:
                 # the tight table snapped to the same capacity as the wide
                 # one: two kernels would just double the panel-assembly cost
                 nbl = nbl.replace(r_cutoff_inner=None)
                 cap_in = 0
-        nbl = nbl.replace(capacity=cap, capacity_inner=cap_in)
+        nbl = nbl.replace(capacity=cap, capacity_inner=cap_in, banded=use_banded)
+    elif banded:
+        if not symmetric:
+            raise ValueError(
+                "banded tables require symmetric=True: a triangular consumer "
+                "would double-count the window's b < a slots"
+            )
+        nbl = nbl.replace(banded=True)
     return nbl.allocate(jnp.asarray(init_centers)) if init_centers is not None else nbl
 
 

@@ -250,6 +250,7 @@ def build_run_fn(
                 ctxs = oxdna_tiles.prepare_contexts(
                     updated_energy_fn, neighbors.idx, neighbors.block_size,
                     perm=neighbors.perm,
+                    banded=getattr(neighbors, "banded", False),
                 )
 
                 def _energy_fn(body, unbonded_neighbors: Arr) -> Scalar:

@@ -113,6 +113,51 @@ def test_analytic_forces_match_ad_forces(system, monkeypatch):
         )
 
 
+def test_banded_table_matches_scattered(_f32_mode):
+    # banded (consecutive-slot) tables: same energies and forces as the
+    # scattered table -- in-window non-hits contribute exactly zero. Needs
+    # a system large enough that the window is a strict sub-range of the
+    # blocks (the auto-enable gate), hence its own 160-bp duplex.
+    from __graft_entry__ import _tiny_duplex as duplex
+    from mythos_tpu.simulators.neighbors import (
+        block_neighbor_list_for_topology,
+        strand_interleave_perm,
+    )
+    import mythos_tpu.energy.dna2 as dna2
+
+    topology, body = duplex(160)
+    perm = strand_interleave_perm(topology)
+    e0 = dna2.create_default_energy_fn(topology, block_unbonded=True, block_size=8)
+    kw = dict(
+        dr_threshold=0.5, block_size=8, init_centers=body.center,
+        symmetric=True, perm=perm,
+    )
+    nbl_sc = block_neighbor_list_for_topology(
+        spaces.free()[0], topology, dna2.default_neighbor_cutoff(), banded=False, **kw
+    )
+    nbl_bd = block_neighbor_list_for_topology(
+        spaces.free()[0], topology, dna2.default_neighbor_cutoff(), **kw
+    )
+    assert nbl_bd.banded, "auto-enable should engage on an interleaved duplex"
+    bsoa = soa.to_soa(body)
+    e_sc = float(oxdna_tiles.fused_energy_soa(e0, bsoa, nbl_sc.idx, 8, perm=perm))
+    e_bd = float(
+        oxdna_tiles.fused_energy_soa(e0, bsoa, nbl_bd.idx, 8, perm=perm, banded=True)
+    )
+    np.testing.assert_allclose(e_bd, e_sc, rtol=1e-6)
+    _, ovf = nbl_bd.build(bsoa.center)
+    assert not bool(ovf)
+    g_sc = oxdna_tiles.fused_grads_soa(e0, bsoa, nbl_sc.idx, 8, perm=perm)
+    g_bd = oxdna_tiles.fused_grads_soa(e0, bsoa, nbl_bd.idx, 8, perm=perm, banded=True)
+    for got, want in ((g_bd.center, g_sc.center), (g_bd.orientation, g_sc.orientation)):
+        np.testing.assert_allclose(
+            np.asarray(jnp.stack(tuple(got), -1)),
+            np.asarray(jnp.stack(tuple(want), -1)),
+            rtol=1e-5,
+            atol=5e-6,
+        )
+
+
 @pytest.mark.slow
 def test_fused_param_grads_match_xla(system):
     _, body, e0, _, nbl_tri, nbl_sym = system
