@@ -26,6 +26,7 @@ from mythos_tpu.losses import ObservableLossFn, SquaredError
 from mythos_tpu.observables import PropellerTwist
 from mythos_tpu.observables.propeller import TARGETS
 from mythos_tpu.optimization import DiffTReObjective, SimpleOptimizer
+from mythos_tpu.simulators.base import BoundSimulator
 from mythos_tpu.rigid_body import RigidBody
 from mythos_tpu.ui.loggers import ConsoleLogger
 
@@ -52,13 +53,11 @@ def main() -> None:
     energy_fn = base_sim.energy_fn
     params = energy_fn.opt_params()
 
-    # freeze the simulator's run signature to (opt_params, **state)
-    class _Sim(type(base_sim)):
-        def run(self, opt_params, **state):  # noqa: ANN001
-            key = state.get("key", jax.random.PRNGKey(0))
-            return type(base_sim).run(self, opt_params, init, args.sim_steps, key)
-
-    simulator = _Sim(**dict(base_sim))
+    # freeze the simulator's run signature to (opt_params, **state); each
+    # optimizer-triggered rerun draws a fresh key via the threaded counter
+    simulator = BoundSimulator(
+        name="propeller_sim", simulator=base_sim, run_args=(init, args.sim_steps)
+    )
 
     n_bp = topology.n_nucleotides // 2
     bps = jnp.array([[i, topology.n_nucleotides - 1 - i] for i in range(n_bp)], dtype=jnp.int32)

@@ -1,0 +1,81 @@
+"""Synthetic system generators (no input files needed).
+
+The reference builds test systems from committed oxDNA files; these
+generators produce equivalent idealized structures in code, for examples,
+benchmarks, and tests. Geometry matches B-DNA-like defaults (rise 0.39 su,
+twist 34.3 deg).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+def synthetic_duplex(n_bp: int = 8):
+    """Synthetic B-DNA-like duplex topology + rigid body (no files needed)."""
+    import mythos_tpu.io.topology as top
+    import mythos_tpu.utils.constants as const
+    from mythos_tpu.rigid_body import RigidBody
+
+    n = 2 * n_bp
+    seq = "ACGT" * (n_bp // 4 + 1)
+    s1 = seq[:n_bp]
+    comp = {"A": "T", "T": "A", "C": "G", "G": "C"}
+    s2 = "".join(comp[c] for c in s1)[::-1]
+
+    bonded = top._bonded_neighbors([n_bp, n_bp], [False, False])
+    is_end = np.zeros(n, np.int32)
+    for idx in (0, n_bp - 1, n_bp, n - 1):
+        is_end[idx] = 1
+    topology = top.Topology(
+        n_nucleotides=n,
+        strand_counts=np.array([n_bp, n_bp]),
+        bonded_neighbors=bonded,
+        unbonded_neighbors=top.unbonded_pairs(n, bonded),
+        seq=np.array([const.NUCLEOTIDES_IDX[c] for c in s1 + s2], dtype=np.int32),
+        is_end=is_end,
+        nt_type=np.ones(n, np.int32),
+    )
+
+    # ideal-helix positions: rise 0.39, twist 35 deg, strand-2 antiparallel
+    rise, twist, radius = 0.39, np.deg2rad(34.3), 0.6
+    centers, quats = [], []
+
+    def frame_to_quat(a1, a3):
+        # Shepperd's method: branch on the largest of (trace, m00, m11, m22)
+        # — the naive w-only formula degenerates for 180-degree rotations
+        # (trace -> -1), which this generator hits at phi = 0.
+        a2 = np.cross(a3, a1)
+        m = np.stack([a1, a2, a3], axis=1)  # columns
+        t = m[0, 0] + m[1, 1] + m[2, 2]
+        if t > max(m[0, 0], m[1, 1], m[2, 2]):
+            r = np.sqrt(1.0 + t)
+            s = 0.5 / r
+            q = np.array(
+                [0.5 * r, (m[2, 1] - m[1, 2]) * s, (m[0, 2] - m[2, 0]) * s, (m[1, 0] - m[0, 1]) * s]
+            )
+        else:
+            i = int(np.argmax([m[0, 0], m[1, 1], m[2, 2]]))
+            j, k = (i + 1) % 3, (i + 2) % 3
+            r = np.sqrt(1.0 + m[i, i] - m[j, j] - m[k, k])
+            s = 0.5 / r
+            xyz = np.empty(3)
+            xyz[i] = 0.5 * r
+            xyz[j] = (m[j, i] + m[i, j]) * s
+            xyz[k] = (m[k, i] + m[i, k]) * s
+            q = np.array([(m[k, j] - m[j, k]) * s, *xyz])
+        return q / np.linalg.norm(q)
+
+    for strand in range(2):
+        for k in range(n_bp):
+            i = k if strand == 0 else n_bp - 1 - k
+            phi = i * twist + strand * np.pi
+            a1 = -np.array([np.cos(phi), np.sin(phi), 0.0])
+            a3 = np.array([0.0, 0.0, 1.0]) * (1 if strand == 0 else -1)
+            centers.append(np.array([-radius * a1[0], -radius * a1[1], i * rise]))
+            quats.append(frame_to_quat(a1, a3))
+
+    body = RigidBody(
+        center=jnp.asarray(np.array(centers)), orientation=jnp.asarray(np.array(quats))
+    )
+    return topology, body

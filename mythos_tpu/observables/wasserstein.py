@@ -9,6 +9,7 @@ import math
 from dataclasses import field
 
 import chex
+import jax
 import jax.numpy as jnp
 
 from mythos_tpu.observables.base import BaseObservable
@@ -37,11 +38,15 @@ def wasserstein_1d(
         raise ValueError(f"u_weights must have the same shape as u; got {u_weights.shape} and {u.shape}.")
     if v_weights.shape != v.shape:
         raise ValueError(f"v_weights must have the same shape as v; got {v_weights.shape} and {v.shape}.")
-    if not jnp.isclose(jnp.sum(u_weights), jnp.sum(v_weights), rtol=1e-5, atol=1e-5):
-        raise ValueError(
-            "u_weights and v_weights must sum to the same total mass; "
-            f"got {jnp.sum(u_weights)} and {jnp.sum(v_weights)}."
-        )
+    total_u, total_v = jnp.sum(u_weights), jnp.sum(v_weights)
+    if not (isinstance(total_u, jax.core.Tracer) or isinstance(total_v, jax.core.Tracer)):
+        # only checkable on concrete values; under jit the caller guarantees
+        # equal total mass (DiffTRe weights are normalized)
+        if not jnp.isclose(total_u, total_v, rtol=1e-5, atol=1e-5):
+            raise ValueError(
+                "u_weights and v_weights must sum to the same total mass; "
+                f"got {total_u} and {total_v}."
+            )
 
     # merged support with signed masses; |cumsum| is the CDF difference
     all_vals = jnp.concatenate([u, v])

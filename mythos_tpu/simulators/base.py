@@ -50,6 +50,36 @@ class Simulator(SchedulerUnit):
 
 
 @chex.dataclass(frozen=True, kw_only=True)
+class BoundSimulator(Simulator):
+    """Adapt an in-process simulator to the optimizer run protocol.
+
+    Optimizers call ``run(opt_params, **state)``; the in-process simulators
+    (TpuSimulator, MartiniSimulator) take positional ``(init, n_steps,
+    key)``. This adapter binds the positional arguments and derives a fresh
+    PRNG key per invocation -- ``seed`` folded with an invocation counter
+    threaded through the optimizer's component state -- so DiffTRe
+    resimulation requests actually draw NEW trajectories instead of
+    replaying the old one. (The reference reaches the same effect by
+    seeding its external engines per task,
+    mythos/simulators/oxdna/oxdna.py:119-122.)
+    """
+
+    simulator: Any
+    run_args: tuple = ()
+    seed: int = 0
+
+    def run(self, opt_params: dict[str, Any] | None, seq: int = 0, **_state) -> SimulatorOutput:
+        """Run the bound simulator with a per-invocation key."""
+        import jax
+
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), seq)
+        out = self.simulator.run(opt_params, *self.run_args, key)
+        return SimulatorOutput(
+            observables=out.observables, state={**out.state, "seq": seq + 1}
+        )
+
+
+@chex.dataclass(frozen=True, kw_only=True)
 class InputDirSimulator(Simulator, ABC):
     """Simulator driven by an input directory (external engines).
 

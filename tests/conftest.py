@@ -44,7 +44,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["MYTHOS_TPU_PALLAS_INTERPRET"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "backend_optimization_level" not in flags:
+    # the suite is XLA-CPU-compile-bound (big energy graphs, tiny systems);
+    # O0 + cheap LLVM passes compile ~3x faster with identical semantics
+    # (f64 rounding differences are far below the golden tolerances)
+    flags += " --xla_backend_optimization_level=0 --xla_llvm_disable_expensive_passes=true"
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

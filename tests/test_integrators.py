@@ -124,3 +124,30 @@ def test_langevin_thermalization():
 
     norms = jnp.linalg.norm(state.position.orientation, axis=-1)
     np.testing.assert_allclose(np.asarray(norms), 1.0, atol=1e-9)
+
+
+def test_grad_through_scan_matches_finite_difference():
+    """d(observable)/d(param) THROUGH a short Langevin scan == central finite
+    differences (same PRNG key on both sides makes the dynamics a
+    deterministic function of the parameter)."""
+    from __graft_entry__ import _build_sim, _tiny_duplex
+
+    kT = 296.15 * 0.1 / 300.0
+    topology, body = _tiny_duplex(4)
+    energy_fn, sim = _build_sim(topology, kT)
+    params = energy_fn.opt_params()
+    key = jax.random.PRNGKey(3)
+
+    @jax.jit
+    def loss(eps):
+        p = {**params, "eps_stack_base": eps}
+        out = sim.run(p, body, 20, key)
+        tr = out.observables[0]
+        return jnp.mean(jnp.linalg.norm(tr.center[-1] - tr.center[-1].mean(0), axis=-1))
+
+    eps0 = jnp.asarray(params["eps_stack_base"])
+    g_ad = float(jax.jit(jax.grad(loss))(eps0))
+    h = 1e-4
+    g_fd = float((loss(eps0 + h) - loss(eps0 - h)) / (2 * h))
+    assert np.isfinite(g_ad) and abs(g_ad) > 0
+    np.testing.assert_allclose(g_ad, g_fd, rtol=5e-3)

@@ -349,3 +349,29 @@ def test_difftre_rejects_overflowed_trajectory():
     )
     with pytest.raises(RuntimeError, match="overflowed neighbor table"):
         objective.calculate({"t": traj}, opt_params=energy_fn.opt_params())
+
+
+def test_bound_simulator_threads_fresh_keys():
+    """BoundSimulator derives a new PRNG key per invocation via the seq
+    counter threaded through component state (DiffTRe resimulation must
+    draw NEW trajectories)."""
+    from mythos_tpu.simulators.base import BoundSimulator
+
+    calls = []
+
+    class _Inner:
+        def run(self, opt_params, init, n_steps, key):
+            calls.append((init, n_steps, np.asarray(key)))
+            traj = SimulatorTrajectory(
+                center=jnp.zeros((2, 1, 3)),
+                orientation=jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (2, 1, 1)),
+                temperature=jnp.full(2, 0.1),
+            )
+            return SimulatorOutput(observables=[traj], state={})
+
+    sim = BoundSimulator(name="b", simulator=_Inner(), run_args=("init", 7), seed=3)
+    out0 = sim.run(None)
+    out1 = sim.run(None, **out0.state)
+    assert calls[0][:2] == ("init", 7) and calls[1][:2] == ("init", 7)
+    assert not np.array_equal(calls[0][2], calls[1][2])  # fresh key per call
+    assert out1.state["seq"] == 2

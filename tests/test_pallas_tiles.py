@@ -125,7 +125,7 @@ def test_banded_table_matches_scattered(_f32_mode):
     )
     import mythos_tpu.energy.dna2 as dna2
 
-    topology, body = duplex(160)
+    topology, body = duplex(96)
     perm = strand_interleave_perm(topology)
     e0 = dna2.create_default_energy_fn(topology, block_unbonded=True, block_size=8)
     kw = dict(
