@@ -21,6 +21,7 @@ import jax.numpy as jnp
 N_BP = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
 N_STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
 BLOCK = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+MODE = sys.argv[4] if len(sys.argv) > 4 else "stencil"
 
 TARGET_NT_STEPS_PER_MIN = 1e6 * 10_000  # 10k-nt at 1e6 steps/min
 
@@ -30,10 +31,12 @@ def main() -> None:
 
     kT = 296.15 * 0.1 / 300.0
     topology, body = _tiny_duplex(N_BP)
-    # oxDNA2 on the SoA block-sparse tile path: the flagship configuration
-    # the north-star metric (BASELINE.json) is defined against
+    # oxDNA2 on the SoA hot path: the flagship configuration the north-star
+    # metric (BASELINE.json) is defined against. Default tier is the banded
+    # stencil (ops/stencil.py, near-linear layouts); pass mode "block" for
+    # the block-sparse tile path (general conformations).
     _, sim = _build_sim(
-        topology, kT, mode="block", init_centers=body.center, model="dna2", block_size=BLOCK
+        topology, kT, mode=MODE, init_centers=body.center, model="dna2", block_size=BLOCK
     )
     # thin trajectory emission so the benchmark measures stepping, not HBM
     # writes; keep it a multiple of neighbor_update_every

@@ -1410,45 +1410,9 @@ def prepare_tile_context(
         tail += [prev.astype(jnp.float32), nxt.astype(jnp.float32), gid]
         tail += [jnp.zeros((n_pad,), jnp.float32)] * (N_FIELDS_DEBYE - 3 - len(tail))
     else:
-        hb = next(fn for fn in terms if type(fn).__name__ == "HydrogenBonding")
-        if pseq_flag:
-            # marginal factors of the expected weight table: hw/oh become
-            # left/right (identical in-tile bilinear form), plus the
-            # partner-sparse same-base-pair correction fields
-            from mythos_tpu.energy import seqdep
-
-            sc = hb.params.pseq_constraints
-            marg = seqdep.nucleotide_marginals(hb.params.pseq, sc)
-            hw_full = jnp.matmul(
-                marg,
-                hb.params.eps_hb_weights.astype(jnp.float32),
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            _, _, partner_j, corr_full = seqdep.factorized_weights(
-                hb.params.pseq, hb.params.eps_hb_weights, sc, marginals=marg
-            )
-            partner_np = np.asarray(partner_j)  # static (from sc.bps)
-            if perm is not None:
-                hw = hw_full[perm]
-                oh = marg[perm]
-                corr = corr_full[perm]
-                partner_np = inv_perm[partner_np[perm]]
-            else:
-                hw, oh, corr = hw_full, marg, corr_full
-            partner = jnp.asarray(partner_np, jnp.float32)
-        else:
-            oh = jax.nn.one_hot(seq, 4, dtype=jnp.float32)
-            hw = jnp.dot(
-                oh,
-                hb.params.eps_hb_weights.astype(jnp.float32),
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            corr = jnp.zeros((n,), jnp.float32)
-            partner = jnp.full((n,), -1.0, jnp.float32)
-        if has_debye:
-            qf = _qf_of(next(fn for fn in terms if type(fn).__name__ == "Debye"))
-        else:
-            qf = jnp.ones((n,), jnp.float32)
+        hw, oh, corr, partner, qf = pair_static_fields(
+            terms, seq, perm, inv_perm, pseq_flag, has_debye
+        )
         cols = [hw[:, k] for k in range(4)] + [oh[:, k] for k in range(4)]
         cols += [corr, qf, partner]
         tail = [jnp.pad(c.astype(jnp.float32), (0, pad)) for c in cols]
@@ -1468,6 +1432,67 @@ def prepare_tile_context(
         inv_t=None if perm is None else tuple(inv_perm.tolist()),
         perm_kind=perm_kind,
     )
+
+
+def pair_static_fields(terms, seq, perm, inv_perm, pseq_flag: bool, has_debye: bool):
+    """Static per-slot pair fields shared by the tile and stencil paths.
+
+    Returns (hw (n, 4), oh (n, 4), corr (n,), partner (n,), qf (n,)) in SLOT
+    order (``seq`` must already be permuted; the pseq tables are permuted
+    here). hw/oh are the left/right factors of the hydrogen-bonding weight
+    bilinear form (one_hot @ table / one_hot, or the sequence-distribution
+    marginal factors under pseq), corr/partner the partner-sparse pseq
+    same-base-pair correction, qf the Debye end-charge factor.
+    """
+    n = seq.shape[0]
+    hb = next(fn for fn in terms if type(fn).__name__ == "HydrogenBonding")
+    if pseq_flag:
+        # marginal factors of the expected weight table: hw/oh become
+        # left/right (identical bilinear form), plus the partner-sparse
+        # same-base-pair correction fields
+        from mythos_tpu.energy import seqdep
+
+        sc = hb.params.pseq_constraints
+        marg = seqdep.nucleotide_marginals(hb.params.pseq, sc)
+        hw_full = jnp.matmul(
+            marg,
+            hb.params.eps_hb_weights.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        _, _, partner_j, corr_full = seqdep.factorized_weights(
+            hb.params.pseq, hb.params.eps_hb_weights, sc, marginals=marg
+        )
+        partner_np = np.asarray(partner_j)  # static (from sc.bps)
+        if perm is not None:
+            hw = hw_full[perm]
+            oh = marg[perm]
+            corr = corr_full[perm]
+            partner_np = inv_perm[partner_np[perm]]
+        else:
+            hw, oh, corr = hw_full, marg, corr_full
+        partner = jnp.asarray(partner_np, jnp.float32)
+    else:
+        oh = jax.nn.one_hot(seq, 4, dtype=jnp.float32)
+        hw = jnp.dot(
+            oh,
+            hb.params.eps_hb_weights.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        corr = jnp.zeros((n,), jnp.float32)
+        partner = jnp.full((n,), -1.0, jnp.float32)
+    if has_debye:
+        debye = next(fn for fn in terms if type(fn).__name__ == "Debye")
+        is_end = jnp.asarray(debye.is_end)
+        if perm is not None:
+            is_end = is_end[perm]
+        qf = jnp.where(
+            jnp.asarray(debye.params.half_charged_ends, bool),
+            jnp.where(is_end.astype(bool), 0.5, 1.0),
+            1.0,
+        ) * jnp.ones((n,), jnp.float32)
+    else:
+        qf = jnp.ones((n,), jnp.float32)
+    return hw, oh, corr, partner, qf
 
 
 def pad_ids(spec: TileSpec, sym_ids: Arr) -> Arr:

@@ -1,0 +1,904 @@
+"""Banded-stencil unbonded kernels for near-linear polymer layouts.
+
+When the slot layout keeps every interacting pair's index distance small
+(|i - j| <= W), the unbonded sums become a band stencil: for each STATIC
+offset d in [1, W], pair (i, i+d) is formed by rolling the (N,) SoA field
+arrays by d lanes. True for duplexes under the strand-interleave
+permutation (simulators/neighbors.strand_interleave_perm): paired bases sit
+at offset 1, bonded backbone neighbors at offset 2, and the wide-cutoff
+Debye reach is ~18 slots at 0.15 M salt.
+
+This removes everything the block-tile kernels (ops/oxdna_tiles.py) pay for
+data movement -- no neighbor table in the hot loop, no panel assembly, no
+transposes, no gathers: the program is pure elementwise VPU work over (N,)
+arrays plus two static rolls per field per offset, all fusable by XLA.
+
+Pairs are evaluated ONE-SIDED (d > 0 covers each unordered pair once); the
+i-side and j-side force/frame gradients both come from one set of shared
+pair intermediates (the scalar-bottleneck closed-form Jacobians of
+ops.oxdna_tiles._bwd_forces_analytic_body, extended with the j-side frame
+terms), and the j-side contribution is accumulated by rolling back (+d).
+Offsets beyond the short-range reach (w_short < d <= w_wide) evaluate
+Debye-Hueckel alone on the backbone sites.
+
+Band validity (every interacting pair inside the band) is re-checked at
+every neighbor rebuild by simulators.neighbors.StencilBand; conformations
+that fold back (index-distant segments in contact) raise the overflow flag
+and need the block-table path instead.
+
+Reference context: same physics as the reference's per-term energies
+(mythos/energy/dna1/*.py, mythos/energy/dna2/*.py); the stencil structure
+is TPU-native design with no reference counterpart.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import mythos_tpu.energy.dna1.terms as t1
+from mythos_tpu.energy.dna1 import geometry as geom
+from mythos_tpu.ops.oxdna_tiles import (
+    ERR_UNSUPPORTED_MODEL,
+    ERR_X64,
+    _SUPPORTED_MODULES,
+    _UNBONDED_ORDER,
+    _bare,
+    _derive_sites,
+    _geometry_of,
+    _interleave2,
+    _permute,
+    _r,
+    pair_static_fields,
+)
+from mythos_tpu.soa import Vec3, quat_frame_soa, vcross, vdot
+from mythos_tpu.utils.math import arccos_poly
+from mythos_tpu.utils.types import Arr
+
+
+class StencilSpec(NamedTuple):
+    """Static configuration of the stencil path (hashable)."""
+
+    n: int
+    w_short: int  # one-sided full-physics reach (slots)
+    w_wide: int  # one-sided total reach (Debye alone beyond w_short)
+    has_debye: bool
+    coax_variant: str  # "dna1" | "dna2"
+    geometry: tuple
+    pseq: bool
+
+
+class StencilContext(NamedTuple):
+    """Loop-invariant inputs, prepared once per run (outside the scan)."""
+
+    spec: StencilSpec
+    unbonded: tuple  # ((composed index, term), ...) in _UNBONDED_ORDER
+    params: tuple  # term params, same order (traced; gradients flow)
+    weight_d: Arr  # (w_short, n) hb pair weight per offset
+    qf_d: Arr | None  # (w_wide, n) Debye charge product per offset
+    qf: Arr  # (n,) per-slot Debye charge factor
+    pn: Arr  # (2, n) bonded partner slot ids as f32 (-1 when none)
+    mask_d: Arr  # (w_wide, n) bool pair validity per offset
+    perm_t: tuple | None
+    inv_t: tuple | None
+    perm_kind: str | None
+    kernel_ctx: object | None = None  # KernelContext when the Pallas path is on
+
+    def apply_perm(self, c):
+        if self.perm_kind == "interleave2":
+            return _interleave2(c)
+        return _permute(c, self.perm_t, self.inv_t)
+
+
+def _roll(x: Arr, d: int) -> Arr:
+    """j-side view: out[i] = x[i + d] (wrapped lanes are masked)."""
+    return jnp.roll(x, -d)
+
+
+def _pack_rolled(comps, lo: int, hi: int) -> Arr:
+    """(hi - lo + 1, C, n) stacked j-views of C packed (n,) components.
+
+    Offsets ride as one batched leading axis so the pair physics traces ONCE
+    for all offsets (an unrolled per-offset jax.grad graph compiles ~8
+    s/offset on TPU), and the C field components roll TOGETHER: one packed
+    (C, n) lane-roll per offset is ~2.4x cheaper than C separate (n,) rolls
+    (unaligned lane shifts pay per-op relayout shuffles; see
+    benchmarks/RESULTS.md)."""
+    pk = jnp.stack(list(comps))
+    return jnp.stack([jnp.roll(pk, -d, axis=1) for d in range(lo, hi + 1)])
+
+
+def _unpack_views(stk: Arr) -> list:
+    """(w, C, n) -> C separate (w, n) views (sliced for free in-fusion)."""
+    return [stk[:, k, :] for k in range(stk.shape[1])]
+
+
+def _pack_roll_back(comps_2d, lo: int) -> list:
+    """C per-offset (w, n) j-side contributions -> C (n,) accumulations.
+
+    Row k of each component accumulates onto particle i + lo + k
+    (sum_k roll(row_k, +(lo + k))), with the C components rolled together."""
+    pk = jnp.stack(list(comps_2d))  # (C, w, n)
+    out = 0.0
+    for k in range(pk.shape[1]):
+        out = out + jnp.roll(pk[:, k, :], lo + k, axis=1)
+    return [out[c] for c in range(pk.shape[0])]
+
+
+def _bcast1(v: Vec3) -> Vec3:
+    """(n,) Vec3 -> (1, n) Vec3 broadcastable against stacked offsets."""
+    return Vec3(v.x[None, :], v.y[None, :], v.z[None, :])
+
+
+def prepare_stencil_context(
+    composed, w_short: int, w_wide: int, perm=None, kernel: bool | None = None
+) -> StencilContext:
+    """Build the loop-invariant StencilContext.
+
+    ``composed`` must already carry updated params (with_params applied);
+    the static weight/charge/mask tables are traced from them so parameter
+    gradients flow. ``perm`` (static (N,) array) reorders nucleotides into
+    the banded layout; w_* are one-sided slot reaches from
+    simulators.neighbors.stencil_band_for_topology.
+    """
+    if jax.config.jax_enable_x64:
+        raise ValueError(ERR_X64)
+    by_name = {type(fn).__name__: (i, fn) for i, fn in enumerate(composed.energy_fns)}
+    unbonded = tuple(by_name[nm] for nm in _UNBONDED_ORDER if nm in by_name)
+    terms = [fn for _, fn in unbonded]
+    for fn in terms:
+        if type(fn).__module__ not in _SUPPORTED_MODULES:
+            raise ValueError(ERR_UNSUPPORTED_MODEL.format(type(fn).__module__))
+    has_debye = any(type(fn).__name__ == "Debye" for fn in terms)
+    coax_variant = "dna1"
+    for fn in terms:
+        if type(fn).__name__ == "CoaxialStacking":
+            coax_variant = "dna2" if type(fn).__module__.endswith("dna2.terms") else "dna1"
+
+    first = terms[0]
+    seq = jnp.asarray(first.seq)
+    n = int(seq.shape[0])
+    w_wide = min(w_wide, n - 1)
+    w_short = min(w_short, w_wide)
+    if not has_debye:
+        w_wide = w_short
+    inv_perm = None
+    if perm is not None:
+        perm = np.asarray(perm)
+        inv_perm = np.argsort(perm)
+        seq = seq[perm]
+    pseq_flag = bool(
+        next(
+            (fn.params.pseq for fn in terms if type(fn).__name__ == "HydrogenBonding"),
+            None,
+        )
+    )
+    spec = StencilSpec(
+        n=n,
+        w_short=w_short,
+        w_wide=w_wide,
+        has_debye=has_debye,
+        coax_variant=coax_variant,
+        geometry=_geometry_of(first),
+        pseq=pseq_flag,
+    )
+
+    hw, oh, corr, partner, qf = pair_static_fields(
+        terms, seq, perm, inv_perm, pseq_flag, has_debye
+    )
+
+    # pair validity per offset: in range and not bonded (static, numpy)
+    bonded = np.asarray(first.bonded_neighbors)
+    if perm is not None and bonded.size:
+        bonded = inv_perm[bonded]
+    p1 = np.full(n, -1, np.int64)
+    p2 = np.full(n, -1, np.int64)
+    for a, b in bonded.reshape(-1, 2):
+        for x, y in ((int(a), int(b)), (int(b), int(a))):
+            if p1[x] < 0:
+                p1[x] = y
+            elif p2[x] < 0:
+                p2[x] = y
+            else:
+                raise ValueError(
+                    "stencil path supports at most 2 bonded partners per particle"
+                )
+    idx = np.arange(n)
+    mask_np = np.stack(
+        [
+            (idx + d < n) & (p1 != idx + d) & (p2 != idx + d)
+            for d in range(1, w_wide + 1)
+        ]
+    )
+    mask_d = jnp.asarray(mask_np)
+    pn = jnp.asarray(np.stack([p1, p2]), jnp.float32)
+
+    # hb pair weight per offset (the bilinear hw_i . oh_j form, plus the
+    # pseq same-base-pair correction where the partner sits at i + d)
+    weights = []
+    for d in range(1, w_short + 1):
+        w = 0.0
+        for k in range(4):
+            w = w + hw[:, k] * _roll(oh[:, k], d)
+        if pseq_flag:
+            w = w + jnp.where(partner == (idx + d).astype(jnp.float32), corr, 0.0)
+        weights.append(w)
+    weight_d = jnp.stack(weights)
+
+    qf_d = None
+    if has_debye:
+        qf_d = jnp.stack([qf * _roll(qf, d) for d in range(1, w_wide + 1)])
+
+    perm_kind = None
+    if perm is not None:
+        from mythos_tpu.ops.oxdna_tiles import _is_interleave2
+
+        perm_kind = "interleave2" if _is_interleave2(perm) else "generic"
+    ctx = StencilContext(
+        spec=spec,
+        unbonded=unbonded,
+        params=tuple(fn.params for fn in terms),
+        weight_d=weight_d,
+        qf_d=qf_d,
+        qf=qf,
+        pn=pn,
+        mask_d=mask_d,
+        perm_t=None if perm is None else tuple(perm.tolist()),
+        inv_t=None if perm is None else tuple(inv_perm.tolist()),
+        perm_kind=perm_kind,
+    )
+    if kernel is None:
+        kernel = USE_KERNEL and n <= _KERNEL_MAX_N
+    if kernel:
+        ctx = ctx._replace(kernel_ctx=prepare_kernel_context(ctx))
+    return ctx
+
+
+def _body_fields(ctx: StencilContext, body_soa):
+    """(com, a1, a2, a3) Vec3 fields in slot order (permuted)."""
+    com = body_soa.center
+    quat = body_soa.orientation
+    if ctx.perm_t is not None:
+        com = Vec3(*(ctx.apply_perm(c) for c in com))
+        quat = type(quat)(*(ctx.apply_perm(c) for c in quat))
+    a1, a2, a3 = quat_frame_soa(quat)
+    return com, a1, a2, a3
+
+
+def _pair_term_fns(params, weight, qf, spec: StencilSpec) -> list:
+    """Per-term S -> pair-energy closures over the scalar bottleneck.
+
+    Each term reads only its own scalars (the shared arccos chains are
+    recomputed per term), so the gradient driver can wrap them in
+    jax.checkpoint: one term's reverse-mode residuals are live at a time,
+    which is what keeps the Pallas kernel inside the 16 MB VMEM budget.
+    Formula source: the same term product functions as
+    ops.oxdna_tiles._tile_energies.
+    """
+    if spec.has_debye:
+        p_exc, p_hb, p_cross, p_coax, p_debye = params
+    else:
+        (p_exc, p_hb, p_cross, p_coax), p_debye = params, None
+
+    def ub_geom(S):
+        (r_ee, _, _, _, _, c1, c2, c3, c4, c7, c8, _, _, _, _) = S
+        return geom.UnbondedGeometry(
+            dr_base=None,
+            r_base=r_ee,
+            theta1=arccos_poly(c1),
+            theta2=arccos_poly(c2),
+            theta3=arccos_poly(c3),
+            theta4=arccos_poly(c4),
+            theta7=arccos_poly(c7),
+            theta8=jnp.pi - arccos_poly(c8),
+        )
+
+    def exc(S):
+        (r_ee, r_eb, r_be, r_bb, *_rest) = S
+        return (
+            t1._exc_vol_f3(r_ee, p_exc.eps_exc, p_exc.dr_star_base, p_exc.sigma_base, p_exc.b_base, p_exc.dr_c_base)
+            + t1._exc_vol_f3(r_eb, p_exc.eps_exc, p_exc.dr_star_back_base, p_exc.sigma_back_base, p_exc.b_back_base, p_exc.dr_c_back_base)
+            + t1._exc_vol_f3(r_be, p_exc.eps_exc, p_exc.dr_star_base_back, p_exc.sigma_base_back, p_exc.b_base_back, p_exc.dr_c_base_back)
+            + t1._exc_vol_f3(r_bb, p_exc.eps_exc, p_exc.dr_star_backbone, p_exc.sigma_backbone, p_exc.b_backbone, p_exc.dr_c_backbone)
+        )
+
+    def hb(S):
+        return _bare(t1.HydrogenBonding, p_hb).hb_product(ub_geom(S)) * weight
+
+    def cross(S):
+        return _bare(t1.CrossStacking, p_cross).cross_product_term(ub_geom(S))
+
+    def coax(S):
+        (_, _, _, _, r_st, c1, _, _, c4, _, _, c5, c6, q3, q4) = S
+        g_cx = geom.CoaxGeometry(
+            dr_stack=None,
+            r_stack=r_st,
+            theta1=arccos_poly(c1),
+            theta4=arccos_poly(c4),
+            theta5=arccos_poly(c5),
+            theta6=arccos_poly(c6),
+            cosphi3=q3,
+            cosphi4=q4,
+        )
+        if spec.coax_variant == "dna2":
+            import mythos_tpu.energy.dna2.terms as t2
+
+            return _bare(t2.CoaxialStacking, p_coax)._coax_value(g_cx)
+        return _bare(t1.CoaxialStacking, p_coax).coax_product(g_cx)
+
+    fns = [exc, hb, cross, coax]
+    if p_debye is not None:
+        import mythos_tpu.energy.dna2.terms as t2
+
+        def debye(S):
+            r_bb = S[3]
+            return (
+                t2.debye_potential(
+                    r_bb, p_debye.kappa, p_debye.prefactor, p_debye.smoothing_coeff, p_debye.r_cut, p_debye.r_high
+                )
+                * qf
+            )
+
+        fns.append(debye)
+    return fns
+
+
+def _pair_terms(S, params, weight, qf, spec: StencilSpec):
+    """Per-term pair energies from the scalar bottleneck."""
+    return [f(S) for f in _pair_term_fns(params, weight, qf, spec)]
+
+
+class _PairGeom(NamedTuple):
+    """Pair vectors, scalar bottleneck and shared aux for one offset."""
+
+    S: tuple
+    v_ee: Vec3
+    inv_ee: Arr
+    u_ee: Vec3
+    v_eb: Vec3
+    r_eb: Arr
+    v_be: Vec3
+    r_be: Arr
+    v_bb: Vec3
+    inv_bb: Arr
+    u_bb: Vec3
+    v_st: Vec3
+    inv_st: Arr
+    u_st: Vec3
+    w3: Vec3
+    w4: Vec3
+
+
+def _pair_geom(fi, fj, geometry) -> _PairGeom:
+    com_i, a1_i, a2_i, a3_i = fi
+    com_j, a1_j, a2_j, a3_j = fj
+    stack_i, back_i, base_i = _derive_sites(com_i, a1_i, a2_i, geometry)
+    stack_j, back_j, base_j = _derive_sites(com_j, a1_j, a2_j, geometry)
+
+    v_ee = base_j - base_i
+    r_ee = _r(v_ee)
+    inv_ee = 1.0 / r_ee
+    u_ee = v_ee * inv_ee
+    v_eb = base_j - back_i
+    r_eb = _r(v_eb)
+    v_be = back_j - base_i
+    r_be = _r(v_be)
+    v_bb = back_j - back_i
+    r_bb = _r(v_bb)
+    inv_bb = 1.0 / r_bb
+    u_bb = v_bb * inv_bb
+    v_st = stack_j - stack_i
+    r_st = _r(v_st)
+    inv_st = 1.0 / r_st
+    u_st = v_st * inv_st
+
+    ct1 = -vdot(a1_i, a1_j)
+    ct2 = -vdot(a1_j, v_ee) * inv_ee
+    ct3 = vdot(a1_i, v_ee) * inv_ee
+    ct4 = vdot(a3_i, a3_j)
+    ct7 = -vdot(a3_j, v_ee) * inv_ee
+    ct8 = vdot(a3_i, v_ee) * inv_ee
+    ct5 = vdot(a3_i, u_st)
+    ct6 = -vdot(a3_j, u_st)
+    w3 = vcross(u_bb, a1_j)
+    p3 = vdot(u_st, w3)
+    w4 = vcross(u_bb, a1_i)
+    p4 = vdot(u_st, w4)
+    S = (r_ee, r_eb, r_be, r_bb, r_st, ct1, ct2, ct3, ct4, ct7, ct8, ct5, ct6, p3, p4)
+    return _PairGeom(
+        S=S, v_ee=v_ee, inv_ee=inv_ee, u_ee=u_ee, v_eb=v_eb, r_eb=r_eb,
+        v_be=v_be, r_be=r_be, v_bb=v_bb, inv_bb=inv_bb, u_bb=u_bb,
+        v_st=v_st, inv_st=inv_st, u_st=u_st, w3=w3, w4=w4,
+    )
+
+
+def _offset_grads(fi, fj, params, gt, weight, qf, mask, spec: StencilSpec):
+    """((di_com, di_a1, di_a2, di_a3), (dj_*, ...)) for one full-physics
+    offset: both pair sides from one shared scalar-bottleneck gradient
+    (closed-form vector Jacobians; see _bwd_forces_analytic_body for the
+    i-side derivation -- the j-side mirrors it under the pair swap)."""
+    pg = _pair_geom(fi, fj, spec.geometry)
+    com_i, a1_i, a2_i, a3_i = fi
+    com_j, a1_j, a2_j, a3_j = fj
+
+    # one reverse pass PER TERM, cotangents summed: each term's residuals
+    # die before the next term starts, which keeps the Pallas stencil
+    # kernel's live set inside the 16 MB VMEM budget (jax.checkpoint would
+    # do the same but remat2 has no Pallas TPU lowering)
+    g_S = None
+    for t, f in enumerate(_pair_term_fns(params, weight, qf, spec)):
+
+        def term_total(S, _f=f, _w=gt[t]):
+            return _w * jnp.where(mask, _f(S), 0.0).sum()
+
+        g_t = jax.grad(term_total)(pg.S)
+        g_S = g_t if g_S is None else tuple(a + b for a, b in zip(g_S, g_t))
+    (
+        g_ree, g_reb, g_rbe, g_rbb, g_rst,
+        g_c1, g_c2, g_c3, g_c4, g_c7, g_c8, g_c5, g_c6, g_p3, g_p4,
+    ) = g_S
+    (r_ee, r_eb, r_be, r_bb, r_st, ct1, ct2, ct3, ct4, ct7, ct8, ct5, ct6, p3, p4) = pg.S
+    u_ee, u_bb, u_st = pg.u_ee, pg.u_bb, pg.u_st
+    inv_ee, inv_bb, inv_st = pg.inv_ee, pg.inv_bb, pg.inv_st
+
+    m3 = vcross(a1_j, u_st)
+    m4 = vcross(a1_i, u_st)
+    g_ee = (
+        u_ee * (g_ree - (g_c2 * ct2 + g_c3 * ct3 + g_c7 * ct7 + g_c8 * ct8) * inv_ee)
+        + (a1_i * g_c3 - a1_j * g_c2 + a3_i * g_c8 - a3_j * g_c7) * inv_ee
+    )
+    g_eb = pg.v_eb * (g_reb / pg.r_eb)
+    g_be = pg.v_be * (g_rbe / pg.r_be)
+    g_bb = (
+        u_bb * (g_rbb - (g_p3 * p3 + g_p4 * p4) * inv_bb)
+        + (m3 * g_p3 + m4 * g_p4) * inv_bb
+    )
+    g_st = (
+        u_st * (g_rst - (g_c5 * ct5 + g_c6 * ct6 + g_p3 * p3 + g_p4 * p4) * inv_st)
+        + (a3_i * g_c5 - a3_j * g_c6 + pg.w3 * g_p3 + pg.w4 * g_p4) * inv_st
+    )
+
+    variant, offs = spec.geometry
+    if variant == "dna2":
+        bx, by, hb_off, st_off = offs
+        a1_back, a2_back = bx, by
+    else:
+        bb_off, hb_off, st_off = offs
+        a1_back, a2_back = bb_off, 0.0
+
+    stu_bb = vcross(u_st, u_bb)  # d p3 / d a1_j = d p4 / d a1_i
+
+    # i side (pair vectors are j minus i: every site_i enters with -1)
+    gi_base = g_ee + g_be
+    gi_back = g_eb + g_bb
+    di_com = -(gi_base + gi_back + g_st)
+    di_a1 = (
+        -(gi_base * hb_off + gi_back * a1_back + g_st * st_off)
+        - a1_j * g_c1
+        + u_ee * g_c3
+        + stu_bb * g_p4
+    )
+    di_a2 = gi_back * (-a2_back)
+    di_a3 = a3_j * g_c4 + u_ee * g_c8 + u_st * g_c5
+
+    # j side
+    gj_base = g_ee + g_eb
+    gj_back = g_be + g_bb
+    dj_com = gj_base + gj_back + g_st
+    dj_a1 = (
+        gj_base * hb_off + gj_back * a1_back + g_st * st_off
+        - a1_i * g_c1
+        - u_ee * g_c2
+        + stu_bb * g_p3
+    )
+    dj_a2 = gj_back * a2_back
+    dj_a3 = a3_i * g_c4 - u_ee * g_c7 - u_st * g_c6
+
+    return (di_com, di_a1, di_a2, di_a3), (dj_com, dj_a1, dj_a2, dj_a3)
+
+
+def _derive_back(f, geometry) -> Vec3:
+    com, a1, a2, _ = f
+    variant, offs = geometry
+    if variant == "dna2":
+        return com + offs[0] * a1 + offs[1] * a2
+    return com + offs[0] * a1
+
+
+def _tail_debye_grad(fields, ctx: StencilContext, gt_db, spec: StencilSpec) -> Vec3:
+    """dE/d(pair vector) for the Debye-only offsets (w_short < d <= w_wide),
+    batched: (w_wide - w_short, n) rows. dE/d back_i = -g, dE/d back_j = +g;
+    the site-to-body pullback (back = com + bx a1 + by a2) happens in the
+    caller."""
+    import mythos_tpu.energy.dna2.terms as t2
+
+    p_debye = ctx.params[-1]
+    lo = spec.w_short + 1
+    back = _derive_back(fields, spec.geometry)
+    back_i = _bcast1(back)
+    back_j = Vec3(*_unpack_views(_pack_rolled(tuple(back), lo, spec.w_wide)))
+    v = back_j - back_i
+    r = _r(v)
+    qf = ctx.qf_d[spec.w_short :]
+    mask = ctx.mask_d[spec.w_short :]
+
+    def total(r_):
+        e = (
+            t2.debye_potential(
+                r_, p_debye.kappa, p_debye.prefactor, p_debye.smoothing_coeff, p_debye.r_cut, p_debye.r_high
+            )
+            * qf
+        )
+        return gt_db * jnp.where(mask, e, 0.0).sum()
+
+    s = jax.grad(total)(r) / r
+    return v * s
+
+
+def _gt_of(composed, unbonded) -> list:
+    w = composed.weights
+    return [1.0 if w is None else w[i] for i, _ in unbonded]
+
+
+def unbonded_stencil_energies(ctx: StencilContext, fields) -> list:
+    """Per-term unbonded sums over the band, in ctx.unbonded order.
+
+    Offsets ride as ONE batched (w, n) leading axis: full physics over
+    1..w_short, Debye alone over the tail."""
+    spec = ctx.spec
+    fi = tuple(_bcast1(v) for v in fields)
+    views = _unpack_views(
+        _pack_rolled([c for vec in fields for c in vec], 1, spec.w_short)
+    )
+    fj = tuple(Vec3(*views[3 * k : 3 * k + 3]) for k in range(4))
+    qf = ctx.qf_d[: spec.w_short] if spec.has_debye else None
+    mask = ctx.mask_d[: spec.w_short]
+    pg = _pair_geom(fi, fj, spec.geometry)
+    terms = _pair_terms(pg.S, ctx.params, ctx.weight_d, qf, spec)
+    sums = [jnp.where(mask, e, 0.0).sum() for e in terms]
+    if spec.w_wide > spec.w_short:
+        import mythos_tpu.energy.dna2.terms as t2
+
+        p_debye = ctx.params[-1]
+        lo = spec.w_short + 1
+        back = _derive_back(fields, spec.geometry)
+        back_i = _bcast1(back)
+        back_j = Vec3(*_unpack_views(_pack_rolled(tuple(back), lo, spec.w_wide)))
+        e = (
+            t2.debye_potential(
+                _r(back_j - back_i), p_debye.kappa, p_debye.prefactor,
+                p_debye.smoothing_coeff, p_debye.r_cut, p_debye.r_high,
+            )
+            * ctx.qf_d[spec.w_short :]
+        )
+        sums[-1] = sums[-1] + jnp.where(ctx.mask_d[spec.w_short :], e, 0.0).sum()
+    return sums
+
+
+def stencil_energy_ctx(composed, ctx: StencilContext, body_soa):
+    """Total SoA energy over the band (the hot-loop energy entry).
+
+    Same contract as ops.oxdna_tiles.fused_energy_ctx: bonded terms on the
+    XLA shift path, unbonded terms over the stencil, weighted like
+    ComposedEnergyFunction.__call__.
+    """
+    fields = _body_fields(ctx, body_soa)
+    per_term = unbonded_stencil_energies(ctx, fields)
+    gt = _gt_of(composed, ctx.unbonded)
+    total = 0.0
+    for wi, e in zip(gt, per_term, strict=True):
+        total = total + wi * e
+    first = ctx.unbonded[0][1]
+    nuc = first.transform_soa_fn(body_soa)
+    seq = jnp.asarray(first.seq)
+    unbonded_idx = {i for i, _ in ctx.unbonded}
+    w = composed.weights
+    for i, fn in enumerate(composed.energy_fns):
+        if i in unbonded_idx:
+            continue
+        wi = 1.0 if w is None else w[i]
+        total = total + wi * fn.energy_soa(nuc, seq)
+    return total
+
+
+def stencil_grads_ctx(composed, ctx: StencilContext, body_soa):
+    """d(total SoA energy)/d(body): the Langevin force evaluation.
+
+    Accumulates both pair sides per offset (the j side rolled back) and
+    pulls the (com, a1, a2, a3) cotangents back to the body (quaternion,
+    inverse permutation) through one XLA vjp. Returns a BodySoA-shaped
+    cotangent, same pytree as jax.grad(stencil_energy_ctx)(body_soa).
+    """
+    spec = ctx.spec
+    gt = _gt_of(composed, ctx.unbonded)
+
+    def fields_of(body):
+        return _body_fields(ctx, body)
+
+    fields, vjp_fn = jax.vjp(fields_of, body_soa)
+    if ctx.kernel_ctx is not None:
+        kctx = ctx.kernel_ctx
+        s = kctx.kspec.s
+        dyn_l = jnp.stack(
+            [_to_layout(c.astype(jnp.float32), s) for vec in fields for c in vec]
+        )
+        gt_pad = (
+            jnp.zeros((1, 8), jnp.float32)
+            .at[0, : len(gt)]
+            .set(jnp.stack([jnp.asarray(g, jnp.float32) for g in gt]))
+        )
+        out = stencil_grads_kernel(kctx, dyn_l, gt_pad)
+        comps = [_from_layout(out[k], spec.n) for k in range(12)]
+        acc = [Vec3(*comps[3 * k : 3 * k + 3]) for k in range(4)]
+        (g_body,) = vjp_fn(tuple(acc))
+        return _add_bonded_grads(composed, ctx, body_soa, g_body)
+    fi = tuple(_bcast1(v) for v in fields)
+    views = _unpack_views(
+        _pack_rolled([c for vec in fields for c in vec], 1, spec.w_short)
+    )
+    fj = tuple(Vec3(*views[3 * k : 3 * k + 3]) for k in range(4))
+    qf = ctx.qf_d[: spec.w_short] if spec.has_debye else None
+    gi, gj = _offset_grads(
+        fi, fj, ctx.params, gt, ctx.weight_d, qf, ctx.mask_d[: spec.w_short], spec
+    )
+    # i side sums over the offset axis; j side rolls each offset row back
+    # onto its particle (i + d) first (packed: all 12 components together)
+    backs = _pack_roll_back([c for vec in gj for c in vec], 1)
+    acc = [
+        Vec3(*(a.sum(0) for a in g)) + Vec3(*backs[3 * k : 3 * k + 3])
+        for k, g in enumerate(gi)
+    ]
+    if spec.w_wide > spec.w_short:
+        g = _tail_debye_grad(fields, ctx, gt[-1], spec)
+        variant, offs = spec.geometry
+        a1_back, a2_back = (offs[0], offs[1]) if variant == "dna2" else (offs[0], 0.0)
+        gi_sum = Vec3(*(c.sum(0) for c in g))
+        gj_sum = Vec3(*_pack_roll_back(tuple(g), spec.w_short + 1))
+        # back = com + bx a1 + by a2: dE/dback_i = -g, dE/dback_j = +g
+        acc[0] = acc[0] - gi_sum + gj_sum
+        acc[1] = acc[1] + (gj_sum - gi_sum) * a1_back
+        if variant == "dna2":
+            acc[2] = acc[2] + (gj_sum - gi_sum) * a2_back
+    (g_body,) = vjp_fn(tuple(acc))
+
+    return _add_bonded_grads(composed, ctx, body_soa, g_body)
+
+
+def _add_bonded_grads(composed, ctx: StencilContext, body_soa, g_body):
+    """Add the bonded terms' gradients (the cheap XLA shift path, as in
+    fused_grads_ctx) to the unbonded stencil cotangent."""
+    unbonded_idx = {i for i, _ in ctx.unbonded}
+    first = ctx.unbonded[0][1]
+    seq = jnp.asarray(first.seq)
+    w = composed.weights
+    bonded = [
+        (1.0 if w is None else w[i], fn)
+        for i, fn in enumerate(composed.energy_fns)
+        if i not in unbonded_idx
+    ]
+    if bonded:
+
+        def bonded_energy(body):
+            nuc = first.transform_soa_fn(body)
+            return sum(wi * fn.energy_soa(nuc, seq) for wi, fn in bonded)
+
+        g_bonded = jax.grad(bonded_energy)(body_soa)
+        g_body = jax.tree.map(jnp.add, g_body, g_bonded)
+    return g_body
+
+
+# Pallas stencil kernel ---------------------------------------------------
+#
+# The XLA stencil above pays ~0.8 us per unaligned (N,) lane-roll and
+# materializes the (w, n) pair intermediates through HBM. This kernel keeps
+# everything VMEM-resident in a COLUMN layout: particle p lives at
+# [s, l] with p = s + S*l (S sublanes, 128 lanes), so the j-side view at
+# offset d is a SUBLANE roll by d -- rows that wrap past S belong to the
+# next lane column and are taken from a lane-rolled copy instead:
+#
+#     view(x, d)[s, l] = x[s+d, l]            s <  S - d
+#                      = x[s+d-S, l+1]        s >= S - d   (x_shift row)
+#
+# The j-side force accumulation is the transpose of the same motion (roll
+# +d, rows < d land one lane LEFT, fixed by one static lane-roll at the
+# end). Sublane rolls are cheap vector relayouts on TPU; nothing touches
+# HBM between offsets.
+
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+from mythos_tpu.ops.oxdna_tiles import _interpret, _unpack_params, pack_params  # noqa: E402
+
+#: route stencil_grads_ctx through the Pallas kernel (tests flip this to
+#: cross-check the kernel against the XLA stencil)
+USE_KERNEL = True
+
+#: VMEM ceiling: dyn/static/mask/out arrays at S = ceil(n/128) sublanes
+#: stay under ~6 MB up to this many slots; larger systems need a laned
+#: grid with halo columns (or the XLA stencil / block-tile paths)
+_KERNEL_MAX_N = 65536
+
+
+class KernelSpec(NamedTuple):
+    """Static configuration of the Pallas stencil kernel (hashable)."""
+
+    spec: StencilSpec
+    s: int  # sublane extent (particle p at [p % s, p // s])
+    params_treedef: object
+    leaf_shapes: tuple
+
+
+class KernelContext(NamedTuple):
+    """Loop-invariant kernel inputs (prepared once per run)."""
+
+    kspec: KernelSpec
+    params_vec: Arr  # (1, P)
+    wt_l: Arr  # (w_short, S, 128) hb pair weights, layout form
+    pn_l: Arr  # (2, S, 128) bonded partner slot ids as f32 (-1 when none)
+    qf_l: Arr  # (S, 128) Debye charge factor (ones when no Debye)
+
+
+def _layout_s(n: int, w_wide: int) -> int:
+    """Sublane extent: enough rows for the particles AND strictly more than
+    the band reach (pltpu.roll shifts are modulo the sublane extent; a roll
+    by d >= S would alias). Rounded to the (8, 128) f32 tile."""
+    rows = max(-(-n // 128), w_wide + 1)
+    return max(8, -(-rows // 8) * 8)
+
+
+def _to_layout(x: Arr, s: int) -> Arr:
+    """(n,) -> (s, 128) with p = row + s * lane."""
+    return jnp.pad(x, (0, s * 128 - x.shape[0])).reshape(128, s).T
+
+
+def _from_layout(y: Arr, n: int) -> Arr:
+    return y.T.reshape(-1)[:n]
+
+
+def prepare_kernel_context(ctx: StencilContext) -> KernelContext:
+    spec = ctx.spec
+    s = _layout_s(spec.n, spec.w_wide)
+    params_vec, (treedef, leaf_shapes) = pack_params(list(ctx.params))
+    wt_l = jnp.stack([_to_layout(ctx.weight_d[k], s) for k in range(spec.w_short)])
+    # pad slots get partner id 0 from _to_layout's zero-fill; harmless --
+    # a pad ROW i is dropped by the gidx + d < n range check, and partner
+    # fields of j are never consulted
+    pn_l = jnp.stack([_to_layout(ctx.pn[k], s) for k in range(2)])
+    qf_l = _to_layout(ctx.qf, s)
+    kspec = KernelSpec(spec=spec, s=s, params_treedef=treedef, leaf_shapes=leaf_shapes)
+    return KernelContext(
+        kspec=kspec, params_vec=params_vec, wt_l=wt_l, pn_l=pn_l, qf_l=qf_l
+    )
+
+
+def _view(x: Arr, x_sh: Arr, d, sub: Arr, s: int) -> Arr:
+    """j-side view at offset d (see module note). pltpu.roll requires a
+    non-negative shift, so roll by s - d (equivalent modulo s)."""
+    a = pltpu.roll(x, s - d, axis=0)
+    b = pltpu.roll(x_sh, s - d, axis=0)
+    return jnp.where(sub < s - d, a, b)
+
+
+def _make_stencil_kernel(kspec: KernelSpec):
+    spec = kspec.spec
+    s = kspec.s
+    n_terms = 5 if spec.has_debye else 4
+
+    def kernel(p_ref, gt_ref, dyn_ref, wt_ref, pn_ref, qf_ref, out_ref):
+        params = _unpack_params(p_ref, kspec.params_treedef, kspec.leaf_shapes)
+        gt = [gt_ref[0, t] for t in range(n_terms)]
+        fields = [dyn_ref[k] for k in range(12)]
+        shifted = [pltpu.roll(f, 127, axis=1) for f in fields]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (s, 128), 0)
+        qf = qf_ref[...]
+        qf_sh = pltpu.roll(qf, 127, axis=1)
+        zeros = jnp.zeros((s, 128), jnp.float32)
+        # pair validity from the slot index and bonded-partner fields (a
+        # resident (w_wide, S, 128) mask table would blow the VMEM budget):
+        # p = sub + S * lane; ids stay exact in f32 (n <= 2^24)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (s, 128), 1)
+        gidx = (sub + s * lane).astype(jnp.float32)
+        prev_f = pn_ref[0]
+        nxt_f = pn_ref[1]
+
+        def pair_mask(d):
+            jd = gidx + d.astype(jnp.float32)
+            return (jd < spec.n) & (prev_f != jd) & (nxt_f != jd)
+
+        def scatter_j(acc, accm, gflat, coefs, d):
+            """Accumulate per-pair j-side contributions onto particle i+d."""
+            out_acc, out_accm = list(acc), list(accm)
+            for k, g in zip(coefs, gflat, strict=True):
+                r = pltpu.roll(g, d, axis=0)
+                out_acc[k] = out_acc[k] + jnp.where(sub >= d, r, 0.0)
+                out_accm[k] = out_accm[k] + jnp.where(sub < d, r, 0.0)
+            return tuple(out_acc), tuple(out_accm)
+
+        def short_body(d, carry):
+            acc, accm = carry
+            fj_flat = [_view(fields[k], shifted[k], d, sub, s) for k in range(12)]
+            fi = tuple(Vec3(*fields[3 * k : 3 * k + 3]) for k in range(4))
+            fj = tuple(Vec3(*fj_flat[3 * k : 3 * k + 3]) for k in range(4))
+            wt = wt_ref[d - 1]
+            mask = pair_mask(d)
+            qfp = qf * _view(qf, qf_sh, d, sub, s) if spec.has_debye else None
+            gi, gj = _offset_grads(fi, fj, params, gt, wt, qfp, mask, spec)
+            gi_flat = [c for vec in gi for c in vec]
+            gj_flat = [c for vec in gj for c in vec]
+            acc = tuple(a + g for a, g in zip(acc, gi_flat, strict=True))
+            return scatter_j(acc, accm, gj_flat, range(12), d)
+
+        init = (tuple(zeros for _ in range(12)), tuple(zeros for _ in range(12)))
+        acc, accm = jax.lax.fori_loop(1, spec.w_short + 1, short_body, init)
+
+        if spec.w_wide > spec.w_short:
+            import mythos_tpu.energy.dna2.terms as t2
+
+            p_debye = params[-1]
+            variant, offs = spec.geometry
+            a1b, a2b = (offs[0], offs[1]) if variant == "dna2" else (offs[0], 0.0)
+            com = Vec3(*fields[0:3])
+            a1 = Vec3(*fields[3:6])
+            a2 = Vec3(*fields[6:9])
+            back = com + a1b * a1 + a2b * a2
+            back_f = list(back)
+            back_sh = [pltpu.roll(b, 127, axis=1) for b in back_f]
+            gt_db = gt[-1]
+
+            def tail_body(d, carry):
+                acc, accm = carry
+                bj = Vec3(*(_view(back_f[k], back_sh[k], d, sub, s) for k in range(3)))
+                v = bj - back
+                r = _r(v)
+                mask = pair_mask(d)
+                qfp = qf * _view(qf, qf_sh, d, sub, s)
+
+                def tot(r_):
+                    e = (
+                        t2.debye_potential(
+                            r_, p_debye.kappa, p_debye.prefactor,
+                            p_debye.smoothing_coeff, p_debye.r_cut, p_debye.r_high,
+                        )
+                        * qfp
+                    )
+                    return gt_db * jnp.where(mask, e, 0.0).sum()
+
+                sc = jax.grad(tot)(r) / r
+                g = v * sc  # dE/dback_i = -g, dE/dback_j = +g
+                gi = [-g.x, -g.y, -g.z, -a1b * g.x, -a1b * g.y, -a1b * g.z,
+                      -a2b * g.x, -a2b * g.y, -a2b * g.z]
+                acc = tuple(
+                    a + gi[k] if k < 9 else a for k, a in enumerate(acc)
+                )
+                gj = [g.x, g.y, g.z, a1b * g.x, a1b * g.y, a1b * g.z,
+                      a2b * g.x, a2b * g.y, a2b * g.z]
+                return scatter_j(acc, accm, gj, range(9), d)
+
+            acc, accm = jax.lax.fori_loop(
+                spec.w_short + 1, spec.w_wide + 1, tail_body, (acc, accm)
+            )
+
+        for k in range(12):
+            out_ref[k] = acc[k] + pltpu.roll(accm[k], 1, axis=1)
+
+    return kernel
+
+
+def stencil_grads_kernel(kctx: KernelContext, dyn_l: Arr, gt: Arr) -> Arr:
+    """(12, S, 128) field gradients from the Pallas stencil kernel.
+
+    dyn_l: (12, S, 128) layout-form com/a1/a2/a3 components; gt: (1, 8)
+    per-term cotangents (term weights).
+    """
+    kspec = kctx.kspec
+    s = kspec.s
+    return pl.pallas_call(
+        _make_stencil_kernel(kspec),
+        out_shape=jax.ShapeDtypeStruct((12, s, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(kctx.params_vec, gt, dyn_l, kctx.wt_l, kctx.pn_l, kctx.qf_l)

@@ -7,8 +7,10 @@ from mythos_tpu.simulators.neighbors import (
     DensePairs,
     FixedCapacityNeighborList,
     NoNeighborList,
+    StencilBand,
     block_neighbor_list_for_topology,
     neighbor_list_for_topology,
+    stencil_band_for_topology,
 )
 from mythos_tpu.simulators.martini import MartiniSimulator
 from mythos_tpu.simulators.particles import (
@@ -31,6 +33,7 @@ __all__ = [
     "SimulatorOutput",
     "SimulatorTrajectory",
     "StaticSimulatorParams",
+    "StencilBand",
     "TpuSimulator",
     "berendsen_semi_isotropic",
     "block_neighbor_list_for_topology",
@@ -38,4 +41,5 @@ __all__ = [
     "neighbor_list_for_topology",
     "nvt_langevin_particles",
     "pressure_diag",
+    "stencil_band_for_topology",
 ]

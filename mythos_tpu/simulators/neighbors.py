@@ -529,6 +529,170 @@ def block_neighbor_list_for_topology(
     return nbl.allocate(jnp.asarray(init_centers)) if init_centers is not None else nbl
 
 
+@chex.dataclass
+class StencilBand:
+    """Static band validity for the stencil path (ops/stencil.py).
+
+    The stencil kernels evaluate EVERY pair at slot offsets 1..w_wide each
+    step, so there is no table to build; ``build`` only re-VALIDATES the
+    band: the overflow flag is raised when a pair within the bare cutoff
+    has slot distance beyond the band -- the condition under which the last
+    interval's forces were wrong (a fold-back conformation). The check runs
+    on block AABBs (``check_block`` slots per block): the AABB gap lower-
+    bounds the pair distance and the block index distance bounds the slot
+    distance, so every true violation is caught; quantization slack is
+    absorbed by the builder's margin (stencil_band_for_topology).
+    """
+
+    displacement_fn: Callable  # interface parity; the check is free-space
+    n: int
+    r_cutoff: float
+    dr_threshold: float
+    w_wide: int  # one-sided slot reach of the full band
+    w_short: int  # reach of the full-physics (non-Debye) terms
+    r_cutoff_inner: float | None = None
+    check_block: int = 4
+    perm: Arr | None = None
+    did_overflow: Arr | None = None
+    idx_: Arr | None = None
+
+    @property
+    def idx(self) -> Arr:
+        """Placeholder carried through the scan (the band is static)."""
+        return self.idx_ if self.idx_ is not None else jnp.zeros((1,), jnp.int32)
+
+    def _apply_perm(self, c: Arr) -> Arr:
+        from mythos_tpu.ops.oxdna_tiles import _interleave2, _is_interleave2
+
+        if _is_interleave2(np.asarray(self.perm)):
+            return _interleave2(c)
+        return c[jnp.asarray(self.perm)]
+
+    def _check(self, centers) -> Arr:
+        if isinstance(centers, tuple):  # soa.Vec3 NamedTuple
+            comps = tuple(centers)
+        else:
+            comps = tuple(centers[:, k] for k in range(3))
+        if self.perm is not None:
+            comps = tuple(self._apply_perm(c) for c in comps)
+        b_sz = self.check_block
+        nb = -(-self.n // b_sz)
+        n_pad = nb * b_sz
+        pad = n_pad - comps[0].shape[0]
+        row_valid = (jnp.arange(n_pad) < self.n).reshape(nb, b_sz)
+        big = jnp.asarray(jnp.finfo(comps[0].dtype).max, comps[0].dtype)
+        dist2 = 0.0
+        for c in comps:
+            if pad:
+                c = jnp.pad(c, (0, pad))
+            cb = c.reshape(nb, b_sz)
+            lo = jnp.min(jnp.where(row_valid, cb, big), axis=1)
+            hi = jnp.max(jnp.where(row_valid, cb, -big), axis=1)
+            gap = jnp.maximum(
+                jnp.maximum(lo[:, None] - hi[None, :], lo[None, :] - hi[:, None]), 0.0
+            )
+            dist2 = dist2 + gap * gap
+        col = jnp.arange(nb, dtype=jnp.int32)
+        reach = jnp.abs(col[:, None] - col[None, :]) * b_sz + (b_sz - 1)
+        viol = (dist2 < self.r_cutoff * self.r_cutoff) & (reach > self.w_wide)
+        if self.r_cutoff_inner is not None:
+            viol = viol | (
+                (dist2 < self.r_cutoff_inner * self.r_cutoff_inner)
+                & (reach > self.w_short)
+            )
+        return jnp.any(viol)
+
+    def build(self, centers: Arr, prev: Arr | None = None) -> tuple[Arr, Arr]:
+        return self.idx, self._check(centers)
+
+    def allocate(self, centers: Arr) -> "StencilBand":
+        # one jitted dispatch: eager op-by-op execution of the AABB check is
+        # pathological on remote-tunnel backends
+        return self.replace(
+            idx_=jnp.zeros((1,), jnp.int32), did_overflow=jax.jit(self._check)(centers)
+        )
+
+    def update(self, centers: Arr) -> "StencilBand":
+        return self.replace(
+            did_overflow=self.did_overflow | jax.jit(self._check)(centers)
+        )
+
+
+def _band_reach(c: np.ndarray, cutoff: float, chunk: int = 2048) -> int:
+    """Max slot distance |i - j| over pairs within ``cutoff`` (chunked)."""
+    c = np.asarray(c, np.float32)
+    n = c.shape[0]
+    reach = 0
+    jj = np.arange(n)[None, :]
+    for s in range(0, n, chunk):
+        d = c[s : s + chunk, None, :] - c[None, :, :]
+        d2 = (d * d).sum(-1)
+        ii = np.arange(s, min(s + chunk, n))[:, None]
+        hit = d2 < cutoff * cutoff
+        if hit.any():
+            reach = max(reach, int(np.where(hit, np.abs(ii - jj), 0).max()))
+    return reach
+
+
+def stencil_band_for_topology(
+    displacement_fn: Callable,
+    topology,
+    r_cutoff: float,
+    dr_threshold: float = 0.5,
+    init_centers: Arr | None = None,
+    r_cutoff_inner: float | None = None,
+    perm: Arr | None = None,
+    margin: int = 4,
+    check_block: int = 4,
+) -> StencilBand:
+    """Size a StencilBand from initial positions.
+
+    The one-sided reaches are measured exactly (max |i - j| over pairs
+    within cutoff + skin in the permuted slot layout) plus ``margin`` slots
+    of headroom, which also absorbs the validity check's block quantization
+    (check_block - 1 slots). Raises if the initial layout is not banded
+    enough to profit (reach > n/4): fold-back conformations need the block
+    table path.
+    """
+    n = topology.n_nucleotides
+    bn = np.asarray(topology.bonded_neighbors)
+    if bn.size:
+        counts = np.bincount(bn.ravel(), minlength=n)
+        if counts.max() > 2:
+            raise ValueError(
+                "stencil bands support at most 2 bonded partners per particle "
+                f"(got {int(counts.max())}); branched topologies need the "
+                "pair-list path"
+            )
+    if init_centers is None:
+        raise ValueError("init_centers must be provided")
+    c = np.asarray(init_centers)
+    if perm is not None:
+        c = c[np.asarray(perm)]
+    w_wide = _band_reach(c, r_cutoff + dr_threshold) + margin
+    if r_cutoff_inner is not None:
+        w_short = _band_reach(c, r_cutoff_inner + dr_threshold) + margin
+    else:
+        w_short = w_wide
+    if w_wide > max(8, n // 2):
+        raise ValueError(
+            f"initial layout is not banded (reach {w_wide} of {n} slots); "
+            "use block_neighbor_list_for_topology instead"
+        )
+    band = StencilBand(
+        displacement_fn=displacement_fn,
+        n=n,
+        r_cutoff=r_cutoff,
+        dr_threshold=dr_threshold,
+        w_wide=w_wide,
+        w_short=w_short,
+        r_cutoff_inner=r_cutoff_inner,
+        check_block=check_block,
+        perm=None if perm is None else np.asarray(perm),
+    )
+    return band.allocate(jnp.asarray(init_centers))
+
+
 def neighbor_list_for_topology(
     displacement_fn: Callable,
     topology,

@@ -55,6 +55,10 @@ ERR_PERIODIC_FUSED = (
     "the fused Pallas kernels (symmetric block table) compute free-space "
     "displacements; periodic boxes need a non-symmetric table (XLA tile path)."
 )
+ERR_STENCIL = (
+    "StencilBand neighbors require the free-space SoA hot path (use_soa and "
+    "a non-periodic space); use block_neighbor_list_for_topology otherwise"
+)
 ERR_TWO_LEVEL = (
     "a two-level block neighbor list (r_cutoff_inner) is only consumed by "
     "the fused Pallas path (symmetric=True + SoA); other paths expect one "
@@ -179,17 +183,23 @@ def build_run_fn(
     use_soa: bool | None = None,
 ) -> Callable:
     """Build the jittable run function."""
-    from mythos_tpu.simulators.neighbors import BlockNeighborList, DensePairs, NoNeighborList
+    from mythos_tpu.simulators.neighbors import (
+        BlockNeighborList,
+        DensePairs,
+        NoNeighborList,
+        StencilBand,
+    )
 
     _, shift_fn = space
     static_nbrs = isinstance(neighbors, (NoNeighborList, DensePairs))
     block_nbrs = isinstance(neighbors, BlockNeighborList)
+    stencil_nbrs = isinstance(neighbors, StencilBand)
 
     aos_periodic = getattr(shift_fn, "is_periodic", False)
     if use_soa is None:
         # never auto-substitute a free-space SoA shift for a periodic box
         use_soa = (
-            block_nbrs
+            (block_nbrs or stencil_nbrs)
             and simulator_init is integrators.nvt_langevin
             and getattr(energy_fn, "supports_soa", lambda: False)()
             and (not aos_periodic or space_soa is not None)
@@ -198,6 +208,8 @@ def build_run_fn(
         raise ValueError(ERR_PERIODIC_SOA)
     if block_nbrs and neighbors.r_cutoff_inner is not None and not (use_soa and neighbors.symmetric):
         raise ValueError(ERR_TWO_LEVEL)
+    if stencil_nbrs and (not use_soa or aos_periodic):
+        raise ValueError(ERR_STENCIL)
     if use_soa:
         shift = (space_soa or spaces.free_soa())[1]
         if block_nbrs and neighbors.symmetric and getattr(shift, "is_periodic", False):
@@ -237,6 +249,25 @@ def build_run_fn(
             # dense path: the terms carry their (constant) pair masks
             def _energy_fn(body, unbonded_neighbors=None) -> Scalar:
                 return updated_energy_fn(body)
+        elif stencil_nbrs:
+            # banded-stencil path: no neighbor table at all -- static slot
+            # offsets over rolled SoA arrays (ops/stencil.py); the carried
+            # unbonded_neighbors is a placeholder and rebuilds only validate
+            # the band (overflow on fold-back)
+            from mythos_tpu.ops import stencil as ops_stencil
+
+            sctx = ops_stencil.prepare_stencil_context(
+                updated_energy_fn,
+                neighbors.w_short,
+                neighbors.w_wide,
+                perm=neighbors.perm,
+            )
+
+            def _energy_fn(body, unbonded_neighbors=None) -> Scalar:
+                return ops_stencil.stencil_energy_ctx(updated_energy_fn, sctx, body)
+
+            def _grad_fn(body, unbonded_neighbors=None):
+                return ops_stencil.stencil_grads_ctx(updated_energy_fn, sctx, body)
         elif block_nbrs:
             # block-sparse tile path: the table rides the generic
             # unbonded_neighbors plumbing but binds as block_ids

@@ -1,0 +1,211 @@
+"""Banded-stencil path (ops/stencil.py) vs the XLA/pair-list references.
+
+The stencil computes in float32 over rolled (N,) SoA arrays; the references
+(pair-list energy, XLA SoA gradients) are pinned to oxDNA golden data in
+test_dna2_golden.py, so agreement here chains to the golden energies.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mythos_tpu.energy.dna1 as dna1
+import mythos_tpu.energy.dna2 as dna2
+from __graft_entry__ import _build_sim, _tiny_duplex
+from mythos_tpu import soa, spaces
+from mythos_tpu.ops import stencil as st
+from mythos_tpu.simulators.neighbors import (
+    StencilBand,
+    stencil_band_for_topology,
+    strand_interleave_perm,
+)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _f32_mode():
+    jax.config.update("jax_enable_x64", False)
+    yield
+    jax.config.update("jax_enable_x64", True)
+
+
+def _system(model, n_bp=40):
+    pkg = dna2 if model == "dna2" else dna1
+    topology, body = _tiny_duplex(n_bp)
+    perm = strand_interleave_perm(topology)
+    e = pkg.create_default_energy_fn(topology, block_unbonded=True, block_size=8)
+    e = e.with_params(e.opt_params())
+    r_inner = (
+        pkg.short_range_neighbor_cutoff()
+        if hasattr(pkg, "short_range_neighbor_cutoff")
+        else None
+    )
+    band = stencil_band_for_topology(
+        spaces.free()[0],
+        topology,
+        pkg.default_neighbor_cutoff(),
+        dr_threshold=0.5,
+        init_centers=body.center,
+        r_cutoff_inner=r_inner,
+        perm=perm,
+    )
+    ctx = st.prepare_stencil_context(e, band.w_short, band.w_wide, perm=perm)
+    return topology, body, e, band, ctx
+
+
+@pytest.fixture(scope="module")
+def sys_dna2(_f32_mode):
+    return _system("dna2")
+
+
+@pytest.fixture(scope="module")
+def sys_dna1(_f32_mode):
+    return _system("dna1")
+
+
+@pytest.mark.parametrize("which", ["dna1", "dna2"])
+def test_stencil_energy_matches_pair_list(which, sys_dna1, sys_dna2):
+    topology, body, e, _, ctx = sys_dna1 if which == "dna1" else sys_dna2
+    pkg = dna1 if which == "dna1" else dna2
+    ref = pkg.create_default_energy_fn(topology)
+    ref = ref.with_params(ref.opt_params())
+    e_ref = float(ref(body))
+    e_st = float(st.stencil_energy_ctx(e, ctx, soa.to_soa(body)))
+    np.testing.assert_allclose(e_st, e_ref, rtol=3e-5)
+
+
+def test_stencil_band_is_tight(sys_dna2):
+    _, _, _, band, ctx = sys_dna2
+    assert not bool(band.did_overflow)
+    assert ctx.spec.w_short < ctx.spec.w_wide  # two-level split active
+    assert ctx.spec.w_wide < 40  # band, not O(N)
+
+
+@pytest.mark.parametrize("which", ["dna1", "dna2"])
+def test_stencil_analytic_grads_match_ad(which, sys_dna1, sys_dna2):
+    """Closed-form pair Jacobians == autodiff of the stencil energy."""
+    _, body, e, _, ctx = sys_dna1 if which == "dna1" else sys_dna2
+    bsoa = soa.to_soa(body)
+    g_ad = jax.grad(lambda b: st.stencil_energy_ctx(e, ctx, b))(bsoa)
+    g_an = st.stencil_grads_ctx(e, ctx, bsoa)
+    for x, y in zip(jax.tree.leaves(g_ad), jax.tree.leaves(g_an), strict=True):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4, rtol=2e-4)
+
+
+def test_stencil_grads_match_xla_soa(sys_dna2):
+    """Forces/torque cotangents vs the XLA SoA path (golden-chained)."""
+    from mythos_tpu.simulators.neighbors import block_neighbor_list_for_topology
+
+    topology, body, e, _, ctx = sys_dna2
+    nbl = block_neighbor_list_for_topology(
+        spaces.free()[0],
+        topology,
+        dna2.default_neighbor_cutoff(),
+        dr_threshold=0.5,
+        block_size=8,
+        init_centers=body.center,
+    )
+    e_ref = e.with_props(block_ids=nbl.idx)
+    bsoa = soa.to_soa(body)
+    g_ref = jax.grad(lambda b: e_ref.energy_soa(b))(bsoa)
+    g_st = st.stencil_grads_ctx(e, ctx, bsoa)
+    scale = max(float(jnp.max(jnp.abs(x))) for x in jax.tree.leaves(g_ref))
+    for x, y in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_st), strict=True):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=3e-5 * scale, rtol=1e-3
+        )
+
+
+def test_band_check_flags_foldback(sys_dna2):
+    topology, body, _, band, _ = sys_dna2
+    assert not bool(band._check(jnp.asarray(body.center)))
+    # fold the far end of strand 1 onto the middle of the band: a pair
+    # within the bare cutoff at large slot distance must raise the flag
+    folded = np.asarray(body.center).copy()
+    folded[topology.n_nucleotides // 4] = folded[0] + 0.1
+    assert bool(band._check(jnp.asarray(folded)))
+
+
+def test_simulator_stencil_run(sys_dna2):
+    topology, body, _, _, _ = sys_dna2
+    kT = 296.15 * 0.1 / 300.0
+    _, sim = _build_sim(
+        topology, kT, mode="stencil", init_centers=body.center, model="dna2"
+    )
+    out = sim.run(sim.energy_fn.opt_params(), body, 40, jax.random.PRNGKey(0))
+    traj = out.observables[0]
+    assert bool(jnp.all(jnp.isfinite(traj.center)))
+    assert not bool(jnp.any(traj.metadata["neighbor_overflow"]))
+
+
+def test_stencil_trajectory_tracks_block_path(sys_dna2):
+    """Same key, same start: stencil and block-tile Langevin runs agree to
+    f32 accumulation noise over a short horizon."""
+    topology, body, _, _, _ = sys_dna2
+    kT = 296.15 * 0.1 / 300.0
+    runs = {}
+    for mode in ("stencil", "block"):
+        _, sim = _build_sim(
+            topology, kT, mode=mode, init_centers=body.center, model="dna2"
+        )
+        out = sim.run(sim.energy_fn.opt_params(), body, 20, jax.random.PRNGKey(3))
+        runs[mode] = np.asarray(out.observables[0].center[-1])
+    np.testing.assert_allclose(runs["stencil"], runs["block"], atol=5e-3)
+
+
+def test_stencil_band_rejects_folded_init(sys_dna2):
+    topology, body, _, _, _ = sys_dna2
+    coiled = np.asarray(body.center).copy()
+    rng = np.random.default_rng(0)
+    coiled = rng.normal(size=coiled.shape).astype(np.float32)  # dense blob
+    with pytest.raises(ValueError, match="not banded"):
+        stencil_band_for_topology(
+            spaces.free()[0],
+            topology,
+            dna2.default_neighbor_cutoff(),
+            init_centers=jnp.asarray(coiled),
+            perm=strand_interleave_perm(topology),
+        )
+
+
+def test_stencil_pseq_energy_matches_pair_list():
+    """pseq marginals/correction ride the stencil weight table."""
+    import mythos_tpu.io.sequence_constraints as scs
+
+    topology, body = _tiny_duplex(30)  # big enough for the ~23-slot band
+    n = topology.n_nucleotides
+    sc = scs.from_bps(n, np.array([[i, n - 1 - i] for i in range(n // 2)]))
+    rng = np.random.default_rng(1)
+    bp = rng.random((sc.n_bp, 4))
+    bp /= bp.sum(axis=1, keepdims=True)
+    pseq = (jnp.zeros((0, 4), jnp.float32), jnp.asarray(bp, jnp.float32))
+
+    def _with_pseq(efn):
+        return efn.replace(
+            energy_fns=[
+                fn.replace(params=fn.params.replace(pseq=pseq, pseq_constraints=sc))
+                if hasattr(fn.params, "pseq")
+                else fn
+                for fn in efn.energy_fns
+            ]
+        )
+
+    ref = _with_pseq(dna2.create_default_energy_fn(topology))
+    e_ref = float(ref(body))
+
+    e = _with_pseq(
+        dna2.create_default_energy_fn(topology, block_unbonded=True, block_size=8)
+    )
+    perm = strand_interleave_perm(topology)
+    band = stencil_band_for_topology(
+        spaces.free()[0],
+        topology,
+        dna2.default_neighbor_cutoff(),
+        init_centers=body.center,
+        r_cutoff_inner=dna2.short_range_neighbor_cutoff(),
+        perm=perm,
+    )
+    ctx = st.prepare_stencil_context(e, band.w_short, band.w_wide, perm=perm)
+    assert ctx.spec.pseq
+    e_st = float(st.stencil_energy_ctx(e, ctx, soa.to_soa(body)))
+    np.testing.assert_allclose(e_st, e_ref, rtol=3e-5)
