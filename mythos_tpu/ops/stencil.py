@@ -69,6 +69,7 @@ class StencilSpec(NamedTuple):
     coax_variant: str  # "dna1" | "dna2"
     geometry: tuple
     pseq: bool
+    fused_terms: bool = True  # one reverse pass over all terms (VMEM-gated)
 
 
 class StencilContext(NamedTuple):
@@ -91,6 +92,10 @@ class StencilContext(NamedTuple):
         if self.perm_kind == "interleave2":
             return _interleave2(c)
         return _permute(c, self.perm_t, self.inv_t)
+
+
+#: largest n for the all-terms-in-one reverse pass (see StencilSpec.fused_terms)
+_FUSED_TERMS_MAX_N = 16384
 
 
 def _roll(x: Arr, d: int) -> Arr:
@@ -184,6 +189,10 @@ def prepare_stencil_context(
         coax_variant=coax_variant,
         geometry=_geometry_of(first),
         pseq=pseq_flag,
+        # all-terms-in-one reverse pass: every term's residuals live at
+        # once (~150 (S, 128) f32 arrays) -- fits the 16 MB VMEM budget up
+        # to S = 128 sublanes; fall back to per-term passes beyond
+        fused_terms=n <= _FUSED_TERMS_MAX_N,
     )
 
     hw, oh, corr, partner, qf = pair_static_fields(
@@ -424,17 +433,31 @@ def _offset_grads(fi, fj, params, gt, weight, qf, mask, spec: StencilSpec):
     com_i, a1_i, a2_i, a3_i = fi
     com_j, a1_j, a2_j, a3_j = fj
 
-    # one reverse pass PER TERM, cotangents summed: each term's residuals
-    # die before the next term starts, which keeps the Pallas stencil
-    # kernel's live set inside the 16 MB VMEM budget (jax.checkpoint would
-    # do the same but remat2 has no Pallas TPU lowering)
+    fns = _pair_term_fns(params, weight, qf, spec)
+    if spec.fused_terms:
+        # two reverse passes: the ANGLE terms (hb/cross/coax, indices
+        # 1..3) fuse so their shared arccos_poly chains (the same cosines
+        # feed all three) are CSE'd across terms in forward and backward;
+        # the radial terms (exc vol + debye) go in a second cheap pass.
+        # All-five-fused busts the 16 MB VMEM scoped limit at S=80 by ~1 MB
+        # (measured); this split keeps the CSE win under the cap.
+        groups = [[1, 2, 3], [0] + ([4] if len(fns) == 5 else [])]
+    else:
+        # one reverse pass PER TERM: each term's residuals die before the
+        # next term starts -- the minimum-VMEM schedule for large S
+        # (jax.checkpoint would do the same but remat2 has no Pallas TPU
+        # lowering)
+        groups = [[t] for t in range(len(fns))]
     g_S = None
-    for t, f in enumerate(_pair_term_fns(params, weight, qf, spec)):
+    for grp in groups:
 
-        def term_total(S, _f=f, _w=gt[t]):
-            return _w * jnp.where(mask, _f(S), 0.0).sum()
+        def group_total(S, _grp=tuple(grp)):
+            out = 0.0
+            for t in _grp:
+                out = out + gt[t] * jnp.where(mask, fns[t](S), 0.0).sum()
+            return out
 
-        g_t = jax.grad(term_total)(pg.S)
+        g_t = jax.grad(group_total)(pg.S)
         g_S = g_t if g_S is None else tuple(a + b for a, b in zip(g_S, g_t))
     (
         g_ree, g_reb, g_rbe, g_rbb, g_rst,
@@ -508,22 +531,19 @@ def _derive_back(f, geometry) -> Vec3:
     return com + offs[0] * a1
 
 
-def _tail_debye_grad(fields, ctx: StencilContext, gt_db, spec: StencilSpec) -> Vec3:
+def _tail_debye_grad(fields, p_debye, qf, mask, gt_db, spec: StencilSpec) -> Vec3:
     """dE/d(pair vector) for the Debye-only offsets (w_short < d <= w_wide),
     batched: (w_wide - w_short, n) rows. dE/d back_i = -g, dE/d back_j = +g;
     the site-to-body pullback (back = com + bx a1 + by a2) happens in the
-    caller."""
+    caller. ``qf``/``mask`` are the (w_wide - w_short, n) tail rows."""
     import mythos_tpu.energy.dna2.terms as t2
 
-    p_debye = ctx.params[-1]
     lo = spec.w_short + 1
     back = _derive_back(fields, spec.geometry)
     back_i = _bcast1(back)
     back_j = Vec3(*_unpack_views(_pack_rolled(tuple(back), lo, spec.w_wide)))
     v = back_j - back_i
     r = _r(v)
-    qf = ctx.qf_d[spec.w_short :]
-    mask = ctx.mask_d[spec.w_short :]
 
     def total(r_):
         e = (
@@ -604,6 +624,51 @@ def stencil_energy_ctx(composed, ctx: StencilContext, body_soa):
     return total
 
 
+def _xla_unbonded_field_grads(
+    spec: StencilSpec, params, weight_d, qf_d, mask_d, gt, fields
+):
+    """Unbonded (com, a1, a2, a3) field cotangents via the XLA stencil.
+
+    Shared by the non-kernel branch of stencil_grads_ctx and the kernel's
+    differentiation fallback (_kernel_field_grads' JVP). ``weight_d``
+    (w_short, n), ``qf_d`` (w_wide, n) or None, ``mask_d`` (w_wide, n)."""
+    fi = tuple(_bcast1(v) for v in fields)
+    views = _unpack_views(
+        _pack_rolled([c for vec in fields for c in vec], 1, spec.w_short)
+    )
+    fj = tuple(Vec3(*views[3 * k : 3 * k + 3]) for k in range(4))
+    qf = qf_d[: spec.w_short] if spec.has_debye else None
+    gi, gj = _offset_grads(
+        fi, fj, params, gt, weight_d, qf, mask_d[: spec.w_short], spec
+    )
+    # i side sums over the offset axis; j side rolls each offset row back
+    # onto its particle (i + d) first (packed: all 12 components together)
+    backs = _pack_roll_back([c for vec in gj for c in vec], 1)
+    acc = [
+        Vec3(*(a.sum(0) for a in g)) + Vec3(*backs[3 * k : 3 * k + 3])
+        for k, g in enumerate(gi)
+    ]
+    if spec.w_wide > spec.w_short:
+        g = _tail_debye_grad(
+            fields,
+            params[-1],
+            qf_d[spec.w_short :],
+            mask_d[spec.w_short :],
+            gt[-1],
+            spec,
+        )
+        variant, offs = spec.geometry
+        a1_back, a2_back = (offs[0], offs[1]) if variant == "dna2" else (offs[0], 0.0)
+        gi_sum = Vec3(*(c.sum(0) for c in g))
+        gj_sum = Vec3(*_pack_roll_back(tuple(g), spec.w_short + 1))
+        # back = com + bx a1 + by a2: dE/dback_i = -g, dE/dback_j = +g
+        acc[0] = acc[0] - gi_sum + gj_sum
+        acc[1] = acc[1] + (gj_sum - gi_sum) * a1_back
+        if variant == "dna2":
+            acc[2] = acc[2] + (gj_sum - gi_sum) * a2_back
+    return acc
+
+
 def stencil_grads_ctx(composed, ctx: StencilContext, body_soa):
     """d(total SoA energy)/d(body): the Langevin force evaluation.
 
@@ -611,6 +676,10 @@ def stencil_grads_ctx(composed, ctx: StencilContext, body_soa):
     pulls the (com, a1, a2, a3) cotangents back to the body (quaternion,
     inverse permutation) through one XLA vjp. Returns a BodySoA-shaped
     cotangent, same pytree as jax.grad(stencil_energy_ctx)(body_soa).
+
+    Differentiable: when the Pallas kernel is on, differentiation (direct
+    diff through the dynamics) falls back to the XLA stencil via
+    _kernel_field_grads' custom JVP.
     """
     spec = ctx.spec
     gt = _gt_of(composed, ctx.unbonded)
@@ -630,38 +699,16 @@ def stencil_grads_ctx(composed, ctx: StencilContext, body_soa):
             .at[0, : len(gt)]
             .set(jnp.stack([jnp.asarray(g, jnp.float32) for g in gt]))
         )
-        out = stencil_grads_kernel(kctx, dyn_l, gt_pad)
+        out = _kernel_field_grads(
+            kctx.kspec, kctx.params_vec, gt_pad, dyn_l, kctx.wt_l, kctx.pn_l, kctx.qf_l
+        )
         comps = [_from_layout(out[k], spec.n) for k in range(12)]
         acc = [Vec3(*comps[3 * k : 3 * k + 3]) for k in range(4)]
         (g_body,) = vjp_fn(tuple(acc))
         return _add_bonded_grads(composed, ctx, body_soa, g_body)
-    fi = tuple(_bcast1(v) for v in fields)
-    views = _unpack_views(
-        _pack_rolled([c for vec in fields for c in vec], 1, spec.w_short)
+    acc = _xla_unbonded_field_grads(
+        spec, ctx.params, ctx.weight_d, ctx.qf_d, ctx.mask_d, gt, fields
     )
-    fj = tuple(Vec3(*views[3 * k : 3 * k + 3]) for k in range(4))
-    qf = ctx.qf_d[: spec.w_short] if spec.has_debye else None
-    gi, gj = _offset_grads(
-        fi, fj, ctx.params, gt, ctx.weight_d, qf, ctx.mask_d[: spec.w_short], spec
-    )
-    # i side sums over the offset axis; j side rolls each offset row back
-    # onto its particle (i + d) first (packed: all 12 components together)
-    backs = _pack_roll_back([c for vec in gj for c in vec], 1)
-    acc = [
-        Vec3(*(a.sum(0) for a in g)) + Vec3(*backs[3 * k : 3 * k + 3])
-        for k, g in enumerate(gi)
-    ]
-    if spec.w_wide > spec.w_short:
-        g = _tail_debye_grad(fields, ctx, gt[-1], spec)
-        variant, offs = spec.geometry
-        a1_back, a2_back = (offs[0], offs[1]) if variant == "dna2" else (offs[0], 0.0)
-        gi_sum = Vec3(*(c.sum(0) for c in g))
-        gj_sum = Vec3(*_pack_roll_back(tuple(g), spec.w_short + 1))
-        # back = com + bx a1 + by a2: dE/dback_i = -g, dE/dback_j = +g
-        acc[0] = acc[0] - gi_sum + gj_sum
-        acc[1] = acc[1] + (gj_sum - gi_sum) * a1_back
-        if variant == "dna2":
-            acc[2] = acc[2] + (gj_sum - gi_sum) * a2_back
     (g_body,) = vjp_fn(tuple(acc))
 
     return _add_bonded_grads(composed, ctx, body_soa, g_body)
@@ -887,13 +934,20 @@ def _make_stencil_kernel(kspec: KernelSpec):
     return kernel
 
 
-def stencil_grads_kernel(kctx: KernelContext, dyn_l: Arr, gt: Arr) -> Arr:
+import functools  # noqa: E402
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _kernel_field_grads(
+    kspec: KernelSpec, params_vec: Arr, gt: Arr, dyn_l: Arr, wt_l: Arr, pn_l: Arr, qf_l: Arr
+) -> Arr:
     """(12, S, 128) field gradients from the Pallas stencil kernel.
 
     dyn_l: (12, S, 128) layout-form com/a1/a2/a3 components; gt: (1, 8)
-    per-term cotangents (term weights).
+    per-term cotangents (term weights). Differentiating through this (direct
+    diff of the dynamics w.r.t. body or params) falls back to the XLA
+    stencil via the custom JVP below -- Pallas kernels have no AD rules.
     """
-    kspec = kctx.kspec
     s = kspec.s
     return pl.pallas_call(
         _make_stencil_kernel(kspec),
@@ -901,4 +955,44 @@ def stencil_grads_kernel(kctx: KernelContext, dyn_l: Arr, gt: Arr) -> Arr:
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(kctx.params_vec, gt, dyn_l, kctx.wt_l, kctx.pn_l, kctx.qf_l)
+    )(params_vec, gt, dyn_l, wt_l, pn_l, qf_l)
+
+
+def _xla_field_grads_layout(
+    kspec: KernelSpec, params_vec: Arr, gt: Arr, dyn_l: Arr, wt_l: Arr, pn_l: Arr, qf_l: Arr
+) -> Arr:
+    """XLA-stencil reference with the kernel's exact signature (the JVP
+    primal+tangent path): reconstructs the (n,) row tables from the layout
+    arrays and runs _xla_unbonded_field_grads."""
+    spec = kspec.spec
+    n, s = spec.n, kspec.s
+    params = _unpack_params(params_vec, kspec.params_treedef, kspec.leaf_shapes)
+    comps = [_from_layout(dyn_l[k], n) for k in range(12)]
+    fields = tuple(Vec3(*comps[3 * k : 3 * k + 3]) for k in range(4))
+    weight_d = jnp.stack([_from_layout(wt_l[k], n) for k in range(spec.w_short)])
+    qf = _from_layout(qf_l, n)
+    qf_d = (
+        jnp.stack([qf * _roll(qf, d) for d in range(1, spec.w_wide + 1)])
+        if spec.has_debye
+        else None
+    )
+    p1 = _from_layout(pn_l[0], n)
+    p2 = _from_layout(pn_l[1], n)
+    idx = jnp.arange(n, dtype=jnp.float32)
+    mask_d = jnp.stack(
+        [
+            (idx + d < n) & (p1 != idx + d) & (p2 != idx + d)
+            for d in range(1, spec.w_wide + 1)
+        ]
+    )
+    n_terms = 5 if spec.has_debye else 4
+    gt_list = [gt[0, t] for t in range(n_terms)]
+    acc = _xla_unbonded_field_grads(
+        spec, params, weight_d, qf_d, mask_d, gt_list, fields
+    )
+    return jnp.stack([_to_layout(c, s) for vec in acc for c in vec])
+
+
+@_kernel_field_grads.defjvp
+def _kernel_field_grads_jvp(kspec, primals, tangents):
+    return jax.jvp(functools.partial(_xla_field_grads_layout, kspec), primals, tangents)

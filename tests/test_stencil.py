@@ -138,6 +138,7 @@ def test_simulator_stencil_run(sys_dna2):
     assert not bool(jnp.any(traj.metadata["neighbor_overflow"]))
 
 
+@pytest.mark.slow
 def test_stencil_trajectory_tracks_block_path(sys_dna2):
     """Same key, same start: stencil and block-tile Langevin runs agree to
     f32 accumulation noise over a short horizon."""
@@ -209,3 +210,27 @@ def test_stencil_pseq_energy_matches_pair_list():
     assert ctx.spec.pseq
     e_st = float(st.stencil_energy_ctx(e, ctx, soa.to_soa(body)))
     np.testing.assert_allclose(e_st, e_ref, rtol=3e-5)
+
+
+def test_direct_diff_through_kernel_falls_back_to_xla(sys_dna2):
+    """Direct differentiation of the kernel-tier forces (grad-through-
+    dynamics) rides _kernel_field_grads' custom JVP: gradients must match
+    the pure-XLA stencil tier. A deliberately narrow band keeps the doubly
+    differentiated graph small -- kernel/XLA parity is band-independent."""
+    topology, body, e, band, _ = sys_dna2
+    perm = strand_interleave_perm(topology)
+    bsoa = soa.to_soa(body)
+
+    grads = {}
+    for use_kernel in (True, False):
+        ctx = st.prepare_stencil_context(e, 3, 5, perm=perm, kernel=use_kernel)
+
+        def loss(b, _ctx=ctx):
+            g = st.stencil_grads_ctx(e, _ctx, b)
+            return sum(jnp.sum(c**2) for c in (*g.center, *g.orientation))
+
+        grads[use_kernel] = jax.jit(jax.grad(loss))(bsoa)
+    for x, y in zip(
+        jax.tree.leaves(grads[True]), jax.tree.leaves(grads[False]), strict=True
+    ):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4, rtol=1e-3)
