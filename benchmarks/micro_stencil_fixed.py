@@ -99,20 +99,26 @@ def main() -> None:
     if which == "bonded":
         return
 
-    # field-derivation vjp round trip + layout transforms (no kernel)
+    # position vjp round trip + layout transforms (no kernel): matches the
+    # kernel branch's XLA-side work (perm + 7 transposes each way)
     def fields_rt(b):
-        fields, vjp_fn = jax.vjp(lambda bb: ops_stencil._body_fields(ctx, bb), b)
+        def pos_of(bb):
+            com = bb.center
+            quat = bb.orientation
+            if ctx.perm_t is not None:
+                com = ops_stencil.Vec3(*(ctx.apply_perm(c) for c in com))
+                quat = type(quat)(*(ctx.apply_perm(c) for c in quat))
+            return com, quat
+
+        (com, quat), vjp_fn = jax.vjp(pos_of, b)
         s = ctx.kernel_ctx.kspec.s
         dyn_l = jnp.stack(
-            [
-                ops_stencil._to_layout(c.astype(jnp.float32), s)
-                for vec in fields
-                for c in vec
-            ]
+            [ops_stencil._to_layout(c.astype(jnp.float32), s) for c in (*com, *quat)]
         )
-        comps = [ops_stencil._from_layout(dyn_l[k] * 1.0000001, ctx.spec.n) for k in range(12)]
-        acc = [ops_stencil.Vec3(*comps[3 * k : 3 * k + 3]) for k in range(4)]
-        (g_body,) = vjp_fn(tuple(acc))
+        comps = [ops_stencil._from_layout(dyn_l[k] * 1.0000001, ctx.spec.n) for k in range(7)]
+        (g_body,) = vjp_fn(
+            (ops_stencil.Vec3(*comps[0:3]), ops_stencil.Quat(*comps[3:7]))
+        )
         return nudge(b, g_body)
 
     us = scan_time(fields_rt, bsoa)

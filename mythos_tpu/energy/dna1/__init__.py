@@ -137,6 +137,19 @@ def default_neighbor_cutoff(energy_fn: EnergyFunction | None = None) -> float:
     return float(fn.pair_cutoff()) + 2.0 * max_site_offset()
 
 
+def per_term_neighbor_cutoffs() -> dict[str, float]:
+    """Effective COM-distance cutoff per unbonded term (see the dna2
+    counterpart; dna1 has no Debye term, so every term is short-range)."""
+    out = {}
+    for cls, cfg in zip(default_energy_fns(), default_energy_configs(), strict=True):
+        probe = object.__new__(cls)
+        object.__setattr__(probe, "params", cfg.init_params())
+        c = probe.pair_cutoff()
+        if c is not None:
+            out[cls.__name__] = float(c) + 2.0 * max_site_offset()
+    return out
+
+
 def create_default_energy_fn(
     topology: Topology,
     displacement_fn: callable = DEFAULT_DISPLACEMENT,

@@ -179,6 +179,26 @@ def short_range_neighbor_cutoff() -> float:
     return max(cutoffs) + 2.0 * max_site_offset()
 
 
+def per_term_neighbor_cutoffs() -> dict[str, float]:
+    """Effective COM-distance cutoff per SHORT-RANGE unbonded term.
+
+    Feeds simulators.neighbors.stencil_band_for_topology(term_cutoffs=...):
+    the stencil kernel then skips each term beyond its own band reach
+    (exact -- the smoothed potentials vanish past their cutoffs) instead of
+    running every term out to the widest short-range reach.
+    """
+    out = {}
+    for cls, cfg in zip(default_energy_fns(), default_energy_configs(), strict=True):
+        if cls.__name__ == "Debye":
+            continue
+        probe = object.__new__(cls)
+        object.__setattr__(probe, "params", cfg.init_params())
+        c = probe.pair_cutoff()
+        if c is not None:
+            out[cls.__name__] = float(c) + 2.0 * max_site_offset()
+    return out
+
+
 def create_default_energy_fn(
     topology: Topology,
     displacement_fn: callable = DEFAULT_DISPLACEMENT,

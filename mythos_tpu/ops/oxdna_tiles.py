@@ -389,17 +389,33 @@ def _disp(a, b):
     return a - b
 
 
-def _derive_sites(com: Vec3, a1: Vec3, a2: Vec3, geometry) -> tuple[Vec3, Vec3, Vec3]:
+def _derive_sites(
+    com: Vec3,
+    a1: Vec3,
+    a2: Vec3,
+    geometry,
+    need_stack: bool = True,
+    need_back: bool = True,
+    need_base: bool = True,
+) -> tuple[Vec3 | None, Vec3 | None, Vec3 | None]:
     """(stack, back, base) sites from the frame; matches the Nucleotide
-    transforms (energy/dna1/nucleotide.py, energy/dna2/nucleotide.py)."""
+    transforms (energy/dna1/nucleotide.py, energy/dna2/nucleotide.py).
+    ``need_*=False`` skips a site (returns None) — the stencil kernel prunes
+    site derivation per active term subset."""
     variant, offs = geometry
-    if variant == "dna2":
-        bx, by, hb, st = offs
-        back = com + bx * a1 + by * a2
-    else:
-        bb, hb, st = offs
-        back = com + bb * a1
-    return com + st * a1, back, com + hb * a1
+    back = None
+    if need_back:
+        if variant == "dna2":
+            bx, by, _hb, _st = offs
+            back = com + bx * a1 + by * a2
+        else:
+            bb, _hb, _st = offs
+            back = com + bb * a1
+    st_off = offs[-1]
+    hb_off = offs[-2]
+    stack = com + st_off * a1 if need_stack else None
+    base = com + hb_off * a1 if need_base else None
+    return stack, back, base
 
 
 def _r(v: Vec3):

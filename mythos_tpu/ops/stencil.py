@@ -54,7 +54,7 @@ from mythos_tpu.ops.oxdna_tiles import (
     _r,
     pair_static_fields,
 )
-from mythos_tpu.soa import Vec3, quat_frame_soa, vcross, vdot
+from mythos_tpu.soa import Quat, Vec3, quat_frame_soa, vcross, vdot
 from mythos_tpu.utils.math import arccos_poly
 from mythos_tpu.utils.types import Arr
 
@@ -70,6 +70,38 @@ class StencilSpec(NamedTuple):
     geometry: tuple
     pseq: bool
     fused_terms: bool = True  # one reverse pass over all terms (VMEM-gated)
+    #: per-term one-sided reach (slots), _UNBONDED_ORDER (exc, hb, cross,
+    #: coax), each <= w_short; None = every term runs the full w_short band.
+    #: Debye always reaches w_wide. Terms are EXACTLY zero beyond their own
+    #: cutoff's reach (validated at every rebuild by StencilBand), so the
+    #: kernel skips them there.
+    w_terms: tuple | None = None
+
+
+def _segments(spec: StencilSpec):
+    """Static [(lo, hi, active)] covering offsets 1..w_short.
+
+    For d in (b_{k-1}, b_k] the active set is every short term whose reach
+    w_t >= b_k, plus Debye (which reaches w_wide) when present."""
+    if spec.w_terms is None:
+        return [
+            (1, spec.w_short, tuple(range(5 if spec.has_debye else 4)))
+        ]
+    segs = []
+    lo = 1
+    for b in sorted(set(spec.w_terms)):
+        if b < lo:
+            continue
+        active = tuple(t for t in range(4) if spec.w_terms[t] >= b)
+        if spec.has_debye:
+            active = active + (4,)
+        segs.append((lo, min(b, spec.w_short), active))
+        lo = b + 1
+    if spec.has_debye and lo <= spec.w_short:
+        # short terms exhausted before w_short: Debye-only remainder (the
+        # tail loop starts at w_short + 1)
+        segs.append((lo, spec.w_short, (4,)))
+    return segs
 
 
 class StencilContext(NamedTuple):
@@ -139,7 +171,12 @@ def _bcast1(v: Vec3) -> Vec3:
 
 
 def prepare_stencil_context(
-    composed, w_short: int, w_wide: int, perm=None, kernel: bool | None = None
+    composed,
+    w_short: int,
+    w_wide: int,
+    perm=None,
+    kernel: bool | None = None,
+    w_terms=None,
 ) -> StencilContext:
     """Build the loop-invariant StencilContext.
 
@@ -181,6 +218,12 @@ def prepare_stencil_context(
             None,
         )
     )
+    if w_terms is not None:
+        if len(w_terms) != 4:
+            raise ValueError(
+                f"w_terms must order (exc, hb, cross, coax); got {w_terms!r}"
+            )
+        w_terms = tuple(min(int(w), w_short) for w in w_terms)
     spec = StencilSpec(
         n=n,
         w_short=w_short,
@@ -193,6 +236,7 @@ def prepare_stencil_context(
         # once (~150 (S, 128) f32 arrays) -- fits the 16 MB VMEM budget up
         # to S = 128 sublanes; fall back to per-term passes beyond
         fused_terms=n <= _FUSED_TERMS_MAX_N,
+        w_terms=w_terms,
     )
 
     hw, oh, corr, partner, qf = pair_static_fields(
@@ -381,41 +425,88 @@ class _PairGeom(NamedTuple):
     w4: Vec3
 
 
-def _pair_geom(fi, fj, geometry) -> _PairGeom:
+def _need_flags(active, has_debye: bool):
+    """Which geometry families the active term subset consumes.
+
+    Term indices: 0 exc, 1 hb, 2 cross, 3 coax, 4 debye. ``active=None``
+    means all terms."""
+    a = set(range(5 if has_debye else 4)) if active is None else set(active)
+    need_exc = 0 in a
+    need_hbx = (1 in a) or (2 in a)  # ub_geom users (r_ee + theta angles)
+    need_coax = 3 in a
+    need_db = 4 in a
+    return need_exc, need_hbx, need_coax, need_db
+
+
+def _pair_geom(fi, fj, geometry, active=None, has_debye: bool = True) -> _PairGeom:
+    """Pair geometry for one offset; with ``active`` given, only the
+    scalar/vector families the active terms consume are computed (inactive
+    S slots hold a shared zeros array so _pair_term_fns indexing stays
+    fixed; the pruned gradient driver never reads them)."""
+    need_exc, need_hbx, need_coax, need_db = _need_flags(active, has_debye)
     com_i, a1_i, a2_i, a3_i = fi
     com_j, a1_j, a2_j, a3_j = fj
-    stack_i, back_i, base_i = _derive_sites(com_i, a1_i, a2_i, geometry)
-    stack_j, back_j, base_j = _derive_sites(com_j, a1_j, a2_j, geometry)
+    need_base = need_exc or need_hbx
+    need_back = need_exc or need_db or need_coax
+    stack_i, back_i, base_i = _derive_sites(
+        com_i, a1_i, a2_i, geometry, need_stack=need_coax,
+        need_back=need_back, need_base=need_base,
+    )
+    stack_j, back_j, base_j = _derive_sites(
+        com_j, a1_j, a2_j, geometry, need_stack=need_coax,
+        need_back=need_back, need_base=need_base,
+    )
 
-    v_ee = base_j - base_i
-    r_ee = _r(v_ee)
-    inv_ee = 1.0 / r_ee
-    u_ee = v_ee * inv_ee
-    v_eb = base_j - back_i
-    r_eb = _r(v_eb)
-    v_be = back_j - base_i
-    r_be = _r(v_be)
-    v_bb = back_j - back_i
-    r_bb = _r(v_bb)
-    inv_bb = 1.0 / r_bb
-    u_bb = v_bb * inv_bb
-    v_st = stack_j - stack_i
-    r_st = _r(v_st)
-    inv_st = 1.0 / r_st
-    u_st = v_st * inv_st
+    z = com_i.x * 0.0 + com_j.x * 0.0  # broadcast-shaped zeros placeholder
+    zv = Vec3(z, z, z)
+    v_ee = inv_ee = u_ee = None
+    r_ee = z
+    if need_base:
+        v_ee = base_j - base_i
+        r_ee = _r(v_ee)
+        inv_ee = 1.0 / r_ee
+        u_ee = v_ee * inv_ee
+    v_eb = v_be = None
+    r_eb = r_be = z
+    if need_exc:
+        v_eb = base_j - back_i
+        r_eb = _r(v_eb)
+        v_be = back_j - base_i
+        r_be = _r(v_be)
+    v_bb = inv_bb = u_bb = None
+    r_bb = z
+    if need_back:
+        v_bb = back_j - back_i
+        r_bb = _r(v_bb)
+        inv_bb = 1.0 / r_bb
+    v_st = inv_st = u_st = None
+    r_st = z
+    if need_coax:
+        u_bb = v_bb * inv_bb
+        v_st = stack_j - stack_i
+        r_st = _r(v_st)
+        inv_st = 1.0 / r_st
+        u_st = v_st * inv_st
 
-    ct1 = -vdot(a1_i, a1_j)
-    ct2 = -vdot(a1_j, v_ee) * inv_ee
-    ct3 = vdot(a1_i, v_ee) * inv_ee
-    ct4 = vdot(a3_i, a3_j)
-    ct7 = -vdot(a3_j, v_ee) * inv_ee
-    ct8 = vdot(a3_i, v_ee) * inv_ee
-    ct5 = vdot(a3_i, u_st)
-    ct6 = -vdot(a3_j, u_st)
-    w3 = vcross(u_bb, a1_j)
-    p3 = vdot(u_st, w3)
-    w4 = vcross(u_bb, a1_i)
-    p4 = vdot(u_st, w4)
+    ct1 = -vdot(a1_i, a1_j) if (need_hbx or need_coax) else z
+    ct4 = vdot(a3_i, a3_j) if (need_hbx or need_coax) else z
+    if need_hbx:
+        ct2 = -vdot(a1_j, v_ee) * inv_ee
+        ct3 = vdot(a1_i, v_ee) * inv_ee
+        ct7 = -vdot(a3_j, v_ee) * inv_ee
+        ct8 = vdot(a3_i, v_ee) * inv_ee
+    else:
+        ct2 = ct3 = ct7 = ct8 = z
+    w3 = w4 = None
+    if need_coax:
+        ct5 = vdot(a3_i, u_st)
+        ct6 = -vdot(a3_j, u_st)
+        w3 = vcross(u_bb, a1_j)
+        p3 = vdot(u_st, w3)
+        w4 = vcross(u_bb, a1_i)
+        p4 = vdot(u_st, w4)
+    else:
+        ct5 = ct6 = p3 = p4 = z
     S = (r_ee, r_eb, r_be, r_bb, r_st, ct1, ct2, ct3, ct4, ct7, ct8, ct5, ct6, p3, p4)
     return _PairGeom(
         S=S, v_ee=v_ee, inv_ee=inv_ee, u_ee=u_ee, v_eb=v_eb, r_eb=r_eb,
@@ -424,16 +515,37 @@ def _pair_geom(fi, fj, geometry) -> _PairGeom:
     )
 
 
-def _offset_grads(fi, fj, params, gt, weight, qf, mask, spec: StencilSpec):
+def _vsum(zv: Vec3, *vs) -> Vec3:
+    """Sum Vec3 contributions, skipping Nones; zv when all are None."""
+    out = None
+    for v in vs:
+        if v is None:
+            continue
+        out = v if out is None else out + v
+    return zv if out is None else out
+
+
+def _offset_grads(fi, fj, params, gt, weight, qf, mask, spec: StencilSpec, active=None):
     """((di_com, di_a1, di_a2, di_a3), (dj_*, ...)) for one full-physics
     offset: both pair sides from one shared scalar-bottleneck gradient
     (closed-form vector Jacobians; see _bwd_forces_analytic_body for the
-    i-side derivation -- the j-side mirrors it under the pair swap)."""
-    pg = _pair_geom(fi, fj, spec.geometry)
+    i-side derivation -- the j-side mirrors it under the pair swap).
+
+    ``active`` (static tuple of term indices in _UNBONDED_ORDER(+debye), or
+    None for all) prunes both the forward geometry and the reverse passes
+    to the terms whose per-term band reach covers this offset
+    (StencilSpec.w_terms): inactive terms are EXACTLY zero there (their
+    smoothed potentials vanish beyond cutoff), so skipping them is
+    bit-exact, not approximate."""
+    pg = _pair_geom(fi, fj, spec.geometry, active=active, has_debye=spec.has_debye)
     com_i, a1_i, a2_i, a3_i = fi
     com_j, a1_j, a2_j, a3_j = fj
+    need_exc, need_hbx, need_coax, need_db = _need_flags(active, spec.has_debye)
+    z = pg.S[0] * 0.0 if need_exc or need_hbx else pg.S[3] * 0.0
+    zv = Vec3(z, z, z)
 
     fns = _pair_term_fns(params, weight, qf, spec)
+    idxs = tuple(range(len(fns))) if active is None else tuple(active)
     if spec.fused_terms:
         # two reverse passes: the ANGLE terms (hb/cross/coax, indices
         # 1..3) fuse so their shared arccos_poly chains (the same cosines
@@ -441,13 +553,17 @@ def _offset_grads(fi, fj, params, gt, weight, qf, mask, spec: StencilSpec):
         # the radial terms (exc vol + debye) go in a second cheap pass.
         # All-five-fused busts the 16 MB VMEM scoped limit at S=80 by ~1 MB
         # (measured); this split keeps the CSE win under the cap.
-        groups = [[1, 2, 3], [0] + ([4] if len(fns) == 5 else [])]
+        groups = [
+            [t for t in (1, 2, 3) if t in idxs],
+            [t for t in (0, 4) if t in idxs and t < len(fns)],
+        ]
+        groups = [g for g in groups if g]
     else:
         # one reverse pass PER TERM: each term's residuals die before the
         # next term starts -- the minimum-VMEM schedule for large S
         # (jax.checkpoint would do the same but remat2 has no Pallas TPU
         # lowering)
-        groups = [[t] for t in range(len(fns))]
+        groups = [[t] for t in idxs]
     g_S = None
     for grp in groups:
 
@@ -467,22 +583,30 @@ def _offset_grads(fi, fj, params, gt, weight, qf, mask, spec: StencilSpec):
     u_ee, u_bb, u_st = pg.u_ee, pg.u_bb, pg.u_st
     inv_ee, inv_bb, inv_st = pg.inv_ee, pg.inv_bb, pg.inv_st
 
-    m3 = vcross(a1_j, u_st)
-    m4 = vcross(a1_i, u_st)
-    g_ee = (
-        u_ee * (g_ree - (g_c2 * ct2 + g_c3 * ct3 + g_c7 * ct7 + g_c8 * ct8) * inv_ee)
-        + (a1_i * g_c3 - a1_j * g_c2 + a3_i * g_c8 - a3_j * g_c7) * inv_ee
-    )
-    g_eb = pg.v_eb * (g_reb / pg.r_eb)
-    g_be = pg.v_be * (g_rbe / pg.r_be)
-    g_bb = (
-        u_bb * (g_rbb - (g_p3 * p3 + g_p4 * p4) * inv_bb)
-        + (m3 * g_p3 + m4 * g_p4) * inv_bb
-    )
-    g_st = (
-        u_st * (g_rst - (g_c5 * ct5 + g_c6 * ct6 + g_p3 * p3 + g_p4 * p4) * inv_st)
-        + (a3_i * g_c5 - a3_j * g_c6 + pg.w3 * g_p3 + pg.w4 * g_p4) * inv_st
-    )
+    g_ee = g_eb = g_be = g_bb = g_st = None
+    if need_hbx:
+        g_ee = (
+            u_ee * (g_ree - (g_c2 * ct2 + g_c3 * ct3 + g_c7 * ct7 + g_c8 * ct8) * inv_ee)
+            + (a1_i * g_c3 - a1_j * g_c2 + a3_i * g_c8 - a3_j * g_c7) * inv_ee
+        )
+    elif need_exc:
+        g_ee = u_ee * g_ree
+    if need_exc:
+        g_eb = pg.v_eb * (g_reb / pg.r_eb)
+        g_be = pg.v_be * (g_rbe / pg.r_be)
+    if need_coax:
+        m3 = vcross(a1_j, u_st)
+        m4 = vcross(a1_i, u_st)
+        g_bb = (
+            u_bb * (g_rbb - (g_p3 * p3 + g_p4 * p4) * inv_bb)
+            + (m3 * g_p3 + m4 * g_p4) * inv_bb
+        )
+        g_st = (
+            u_st * (g_rst - (g_c5 * ct5 + g_c6 * ct6 + g_p3 * p3 + g_p4 * p4) * inv_st)
+            + (a3_i * g_c5 - a3_j * g_c6 + pg.w3 * g_p3 + pg.w4 * g_p4) * inv_st
+        )
+    elif need_exc or need_db:
+        g_bb = pg.v_bb * (g_rbb * pg.inv_bb)
 
     variant, offs = spec.geometry
     if variant == "dna2":
@@ -492,33 +616,50 @@ def _offset_grads(fi, fj, params, gt, weight, qf, mask, spec: StencilSpec):
         bb_off, hb_off, st_off = offs
         a1_back, a2_back = bb_off, 0.0
 
-    stu_bb = vcross(u_st, u_bb)  # d p3 / d a1_j = d p4 / d a1_i
+    stu_bb = vcross(u_st, u_bb) if need_coax else None  # d p3/d a1_j = d p4/d a1_i
+
+    def _s(v, c):
+        return None if v is None else v * c
 
     # i side (pair vectors are j minus i: every site_i enters with -1)
-    gi_base = g_ee + g_be
-    gi_back = g_eb + g_bb
-    di_com = -(gi_base + gi_back + g_st)
-    di_a1 = (
-        -(gi_base * hb_off + gi_back * a1_back + g_st * st_off)
-        - a1_j * g_c1
-        + u_ee * g_c3
-        + stu_bb * g_p4
+    gi_base = _vsum(zv, g_ee, g_be)
+    gi_back = _vsum(zv, g_eb, g_bb)
+    di_com = -_vsum(zv, gi_base, gi_back, g_st)
+    di_a1 = _vsum(
+        zv,
+        -(gi_base * hb_off + gi_back * a1_back),
+        _s(g_st, -st_off),
+        _s(a1_j, -g_c1) if (need_hbx or need_coax) else None,
+        _s(u_ee, g_c3) if need_hbx else None,
+        _s(stu_bb, g_p4),
     )
-    di_a2 = gi_back * (-a2_back)
-    di_a3 = a3_j * g_c4 + u_ee * g_c8 + u_st * g_c5
+    di_a2 = gi_back * (-a2_back) if a2_back != 0.0 else zv
+    di_a3 = _vsum(
+        zv,
+        _s(a3_j, g_c4) if (need_hbx or need_coax) else None,
+        _s(u_ee, g_c8) if need_hbx else None,
+        _s(u_st, g_c5),
+    )
 
     # j side
-    gj_base = g_ee + g_eb
-    gj_back = g_be + g_bb
-    dj_com = gj_base + gj_back + g_st
-    dj_a1 = (
-        gj_base * hb_off + gj_back * a1_back + g_st * st_off
-        - a1_i * g_c1
-        - u_ee * g_c2
-        + stu_bb * g_p3
+    gj_base = _vsum(zv, g_ee, g_eb)
+    gj_back = _vsum(zv, g_be, g_bb)
+    dj_com = _vsum(zv, gj_base, gj_back, g_st)
+    dj_a1 = _vsum(
+        zv,
+        gj_base * hb_off + gj_back * a1_back,
+        _s(g_st, st_off),
+        _s(a1_i, -g_c1) if (need_hbx or need_coax) else None,
+        _s(u_ee, -g_c2) if need_hbx else None,
+        _s(stu_bb, g_p3),
     )
-    dj_a2 = gj_back * a2_back
-    dj_a3 = a3_i * g_c4 - u_ee * g_c7 - u_st * g_c6
+    dj_a2 = gj_back * a2_back if a2_back != 0.0 else zv
+    dj_a3 = _vsum(
+        zv,
+        _s(a3_i, g_c4) if (need_hbx or need_coax) else None,
+        _s(u_ee, -g_c7) if need_hbx else None,
+        _s(u_st, -g_c6),
+    )
 
     return (di_com, di_a1, di_a2, di_a3), (dj_com, dj_a1, dj_a2, dj_a3)
 
@@ -684,15 +825,24 @@ def stencil_grads_ctx(composed, ctx: StencilContext, body_soa):
     spec = ctx.spec
     gt = _gt_of(composed, ctx.unbonded)
 
-    def fields_of(body):
-        return _body_fields(ctx, body)
-
-    fields, vjp_fn = jax.vjp(fields_of, body_soa)
     if ctx.kernel_ctx is not None:
+        # the kernel derives the frame vectors from the quaternion IN-KERNEL
+        # (and pulls the a1/a2/a3 cotangents back to d/dquat there too), so
+        # only 7 arrays (com, quat) cross the layout boundary per step
+        # instead of 12, and the XLA frame-vjp roundtrip disappears
+        def pos_of(body):
+            com = body.center
+            quat = body.orientation
+            if ctx.perm_t is not None:
+                com = Vec3(*(ctx.apply_perm(c) for c in com))
+                quat = type(quat)(*(ctx.apply_perm(c) for c in quat))
+            return com, quat
+
+        (com, quat), vjp_fn = jax.vjp(pos_of, body_soa)
         kctx = ctx.kernel_ctx
         s = kctx.kspec.s
         dyn_l = jnp.stack(
-            [_to_layout(c.astype(jnp.float32), s) for vec in fields for c in vec]
+            [_to_layout(c.astype(jnp.float32), s) for c in (*com, *quat)]
         )
         gt_pad = (
             jnp.zeros((1, 8), jnp.float32)
@@ -702,10 +852,14 @@ def stencil_grads_ctx(composed, ctx: StencilContext, body_soa):
         out = _kernel_field_grads(
             kctx.kspec, kctx.params_vec, gt_pad, dyn_l, kctx.wt_l, kctx.pn_l, kctx.qf_l
         )
-        comps = [_from_layout(out[k], spec.n) for k in range(12)]
-        acc = [Vec3(*comps[3 * k : 3 * k + 3]) for k in range(4)]
-        (g_body,) = vjp_fn(tuple(acc))
+        comps = [_from_layout(out[k], spec.n) for k in range(7)]
+        (g_body,) = vjp_fn((Vec3(*comps[0:3]), Quat(*comps[3:7])))
         return _add_bonded_grads(composed, ctx, body_soa, g_body)
+
+    def fields_of(body):
+        return _body_fields(ctx, body)
+
+    fields, vjp_fn = jax.vjp(fields_of, body_soa)
     acc = _xla_unbonded_field_grads(
         spec, ctx.params, ctx.weight_d, ctx.qf_d, ctx.mask_d, gt, fields
     )
@@ -837,7 +991,12 @@ def _make_stencil_kernel(kspec: KernelSpec):
     def kernel(p_ref, gt_ref, dyn_ref, wt_ref, pn_ref, qf_ref, out_ref):
         params = _unpack_params(p_ref, kspec.params_treedef, kspec.leaf_shapes)
         gt = [gt_ref[0, t] for t in range(n_terms)]
-        fields = [dyn_ref[k] for k in range(12)]
+        # frame vectors from the quaternion IN-KERNEL (elementwise
+        # polynomial; its vjp below pulls the a1/a2/a3 cotangents back to
+        # d/dquat without leaving VMEM)
+        quat = Quat(dyn_ref[3], dyn_ref[4], dyn_ref[5], dyn_ref[6])
+        (fa1, fa2, fa3), frame_vjp = jax.vjp(quat_frame_soa, quat)
+        fields = [dyn_ref[0], dyn_ref[1], dyn_ref[2], *fa1, *fa2, *fa3]
         shifted = [pltpu.roll(f, 127, axis=1) for f in fields]
         sub = jax.lax.broadcasted_iota(jnp.int32, (s, 128), 0)
         qf = qf_ref[...]
@@ -864,22 +1023,31 @@ def _make_stencil_kernel(kspec: KernelSpec):
                 out_accm[k] = out_accm[k] + jnp.where(sub < d, r, 0.0)
             return tuple(out_acc), tuple(out_accm)
 
-        def short_body(d, carry):
-            acc, accm = carry
-            fj_flat = [_view(fields[k], shifted[k], d, sub, s) for k in range(12)]
-            fi = tuple(Vec3(*fields[3 * k : 3 * k + 3]) for k in range(4))
-            fj = tuple(Vec3(*fj_flat[3 * k : 3 * k + 3]) for k in range(4))
-            wt = wt_ref[d - 1]
-            mask = pair_mask(d)
-            qfp = qf * _view(qf, qf_sh, d, sub, s) if spec.has_debye else None
-            gi, gj = _offset_grads(fi, fj, params, gt, wt, qfp, mask, spec)
-            gi_flat = [c for vec in gi for c in vec]
-            gj_flat = [c for vec in gj for c in vec]
-            acc = tuple(a + g for a, g in zip(acc, gi_flat, strict=True))
-            return scatter_j(acc, accm, gj_flat, range(12), d)
+        def make_short_body(active):
+            need_hb = active is None or 1 in active
 
-        init = (tuple(zeros for _ in range(12)), tuple(zeros for _ in range(12)))
-        acc, accm = jax.lax.fori_loop(1, spec.w_short + 1, short_body, init)
+            def short_body(d, carry):
+                acc, accm = carry
+                fj_flat = [_view(fields[k], shifted[k], d, sub, s) for k in range(12)]
+                fi = tuple(Vec3(*fields[3 * k : 3 * k + 3]) for k in range(4))
+                fj = tuple(Vec3(*fj_flat[3 * k : 3 * k + 3]) for k in range(4))
+                wt = wt_ref[d - 1] if need_hb else None
+                mask = pair_mask(d)
+                qfp = qf * _view(qf, qf_sh, d, sub, s) if spec.has_debye else None
+                gi, gj = _offset_grads(
+                    fi, fj, params, gt, wt, qfp, mask, spec, active=active
+                )
+                gi_flat = [c for vec in gi for c in vec]
+                gj_flat = [c for vec in gj for c in vec]
+                acc = tuple(a + g for a, g in zip(acc, gi_flat, strict=True))
+                return scatter_j(acc, accm, gj_flat, range(12), d)
+
+            return short_body
+
+        carry = (tuple(zeros for _ in range(12)), tuple(zeros for _ in range(12)))
+        for lo, hi, active in _segments(spec):
+            carry = jax.lax.fori_loop(lo, hi + 1, make_short_body(active), carry)
+        acc, accm = carry
 
         if spec.w_wide > spec.w_short:
             import mythos_tpu.energy.dna2.terms as t2
@@ -928,8 +1096,14 @@ def _make_stencil_kernel(kspec: KernelSpec):
                 spec.w_short + 1, spec.w_wide + 1, tail_body, (acc, accm)
             )
 
-        for k in range(12):
-            out_ref[k] = acc[k] + pltpu.roll(accm[k], 1, axis=1)
+        tot = [acc[k] + pltpu.roll(accm[k], 1, axis=1) for k in range(12)]
+        for k in range(3):
+            out_ref[k] = tot[k]
+        (g_quat,) = frame_vjp(
+            (Vec3(*tot[3:6]), Vec3(*tot[6:9]), Vec3(*tot[9:12]))
+        )
+        for k, g in enumerate(g_quat):
+            out_ref[3 + k] = g
 
     return kernel
 
@@ -941,17 +1115,19 @@ import functools  # noqa: E402
 def _kernel_field_grads(
     kspec: KernelSpec, params_vec: Arr, gt: Arr, dyn_l: Arr, wt_l: Arr, pn_l: Arr, qf_l: Arr
 ) -> Arr:
-    """(12, S, 128) field gradients from the Pallas stencil kernel.
+    """(7, S, 128) position gradients from the Pallas stencil kernel.
 
-    dyn_l: (12, S, 128) layout-form com/a1/a2/a3 components; gt: (1, 8)
-    per-term cotangents (term weights). Differentiating through this (direct
-    diff of the dynamics w.r.t. body or params) falls back to the XLA
-    stencil via the custom JVP below -- Pallas kernels have no AD rules.
+    dyn_l: (7, S, 128) layout-form com (3) + quaternion (4) components
+    (frames are derived in-kernel); gt: (1, 8) per-term cotangents (term
+    weights). Output rows: d/dcom (3) then d/dquat (4). Differentiating
+    through this (direct diff of the dynamics w.r.t. body or params) falls
+    back to the XLA stencil via the custom JVP below -- Pallas kernels have
+    no AD rules.
     """
     s = kspec.s
     return pl.pallas_call(
         _make_stencil_kernel(kspec),
-        out_shape=jax.ShapeDtypeStruct((12, s, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((7, s, 128), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=_interpret(),
@@ -962,13 +1138,17 @@ def _xla_field_grads_layout(
     kspec: KernelSpec, params_vec: Arr, gt: Arr, dyn_l: Arr, wt_l: Arr, pn_l: Arr, qf_l: Arr
 ) -> Arr:
     """XLA-stencil reference with the kernel's exact signature (the JVP
-    primal+tangent path): reconstructs the (n,) row tables from the layout
-    arrays and runs _xla_unbonded_field_grads."""
+    primal+tangent path): reconstructs the (n,) com/quat rows from the
+    layout arrays, derives frames, runs _xla_unbonded_field_grads and pulls
+    the frame cotangents back to d/dquat."""
     spec = kspec.spec
     n, s = spec.n, kspec.s
     params = _unpack_params(params_vec, kspec.params_treedef, kspec.leaf_shapes)
-    comps = [_from_layout(dyn_l[k], n) for k in range(12)]
-    fields = tuple(Vec3(*comps[3 * k : 3 * k + 3]) for k in range(4))
+    comps = [_from_layout(dyn_l[k], n) for k in range(7)]
+    com = Vec3(*comps[0:3])
+    quat = Quat(*comps[3:7])
+    (fa1, fa2, fa3), frame_vjp = jax.vjp(quat_frame_soa, quat)
+    fields = (com, fa1, fa2, fa3)
     weight_d = jnp.stack([_from_layout(wt_l[k], n) for k in range(spec.w_short)])
     qf = _from_layout(qf_l, n)
     qf_d = (
@@ -990,7 +1170,8 @@ def _xla_field_grads_layout(
     acc = _xla_unbonded_field_grads(
         spec, params, weight_d, qf_d, mask_d, gt_list, fields
     )
-    return jnp.stack([_to_layout(c, s) for vec in acc for c in vec])
+    (g_quat,) = frame_vjp((acc[1], acc[2], acc[3]))
+    return jnp.stack([_to_layout(c, s) for c in (*acc[0], *g_quat)])
 
 
 @_kernel_field_grads.defjvp

@@ -555,6 +555,16 @@ class StencilBand:
     perm: Arr | None = None
     did_overflow: Arr | None = None
     idx_: Arr | None = None
+    #: per-term (exc, hb, cross, coax) one-sided reaches and their bare
+    #: cutoffs: ((w, r_cutoff), ...) in ops.stencil._UNBONDED_ORDER. The
+    #: kernel skips a term beyond its own reach; _check validates each
+    #: level so a fold-back that crosses only a narrow term's band still
+    #: raises the overflow flag.
+    term_levels: tuple | None = None
+
+    @property
+    def w_terms(self) -> tuple | None:
+        return None if self.term_levels is None else tuple(w for w, _ in self.term_levels)
 
     @property
     def idx(self) -> Arr:
@@ -600,6 +610,9 @@ class StencilBand:
                 (dist2 < self.r_cutoff_inner * self.r_cutoff_inner)
                 & (reach > self.w_short)
             )
+        if self.term_levels is not None:
+            for w_t, r_t in self.term_levels:
+                viol = viol | ((dist2 < r_t * r_t) & (reach > w_t))
         return jnp.any(viol)
 
     def build(self, centers: Arr, prev: Arr | None = None) -> tuple[Arr, Arr]:
@@ -644,6 +657,7 @@ def stencil_band_for_topology(
     perm: Arr | None = None,
     margin: int = 4,
     check_block: int = 4,
+    term_cutoffs: dict[str, float] | None = None,
 ) -> StencilBand:
     """Size a StencilBand from initial positions.
 
@@ -653,6 +667,14 @@ def stencil_band_for_topology(
     (check_block - 1 slots). Raises if the initial layout is not banded
     enough to profit (reach > n/4): fold-back conformations need the block
     table path.
+
+    ``term_cutoffs`` (optional): per-term effective COM cutoffs keyed
+    'UnbondedExcludedVolume'/'HydrogenBonding'/'CrossStacking'/
+    'CoaxialStacking' (e.g. energy.dna2.per_term_neighbor_cutoffs). When
+    given, each term gets its own (smaller) band reach and the stencil
+    kernel skips it beyond that -- exact, since the smoothed potentials
+    are zero past their cutoffs, and guarded per level by the rebuild
+    check.
     """
     n = topology.n_nucleotides
     bn = np.asarray(topology.bonded_neighbors)
@@ -674,6 +696,24 @@ def stencil_band_for_topology(
         w_short = _band_reach(c, r_cutoff_inner + dr_threshold) + margin
     else:
         w_short = w_wide
+    term_levels = None
+    if term_cutoffs is not None:
+        order = (
+            "UnbondedExcludedVolume",
+            "HydrogenBonding",
+            "CrossStacking",
+            "CoaxialStacking",
+        )
+        missing = [nm for nm in order if nm not in term_cutoffs]
+        if missing:
+            raise ValueError(f"term_cutoffs missing {missing}")
+        term_levels = tuple(
+            (
+                min(_band_reach(c, term_cutoffs[nm] + dr_threshold) + margin, w_short),
+                float(term_cutoffs[nm]),
+            )
+            for nm in order
+        )
     if w_wide > max(8, n // 2):
         raise ValueError(
             f"initial layout is not banded (reach {w_wide} of {n} slots); "
@@ -689,6 +729,7 @@ def stencil_band_for_topology(
         r_cutoff_inner=r_cutoff_inner,
         check_block=check_block,
         perm=None if perm is None else np.asarray(perm),
+        term_levels=term_levels,
     )
     return band.allocate(jnp.asarray(init_centers))
 

@@ -261,6 +261,7 @@ def build_run_fn(
                 neighbors.w_short,
                 neighbors.w_wide,
                 perm=neighbors.perm,
+                w_terms=neighbors.w_terms,
             )
 
             def _energy_fn(body, unbonded_neighbors=None) -> Scalar:

@@ -234,3 +234,65 @@ def test_direct_diff_through_kernel_falls_back_to_xla(sys_dna2):
         jax.tree.leaves(grads[True]), jax.tree.leaves(grads[False]), strict=True
     ):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4, rtol=1e-3)
+
+
+def _nonzero_term_reaches(ctx, bsoa):
+    """Max offset with any nonzero per-pair energy, per short term (measured
+    on the actual configuration; +1 slot of slack)."""
+    spec = ctx.spec
+    fields = st._body_fields(ctx, bsoa)
+    fi = tuple(st._bcast1(v) for v in fields)
+    views = st._unpack_views(
+        st._pack_rolled([c for vec in fields for c in vec], 1, spec.w_short)
+    )
+    fj = tuple(st.Vec3(*views[3 * k : 3 * k + 3]) for k in range(4))
+    qf = ctx.qf_d[: spec.w_short] if spec.has_debye else None
+    mask = ctx.mask_d[: spec.w_short]
+    pg = st._pair_geom(fi, fj, spec.geometry)
+    terms = st._pair_terms(pg.S, ctx.params, ctx.weight_d, qf, spec)
+    reaches = []
+    for t in range(4):
+        e_d = np.asarray(jnp.where(mask, terms[t], 0.0))
+        nz = np.nonzero(np.abs(e_d).max(axis=1) > 0)[0]
+        reaches.append(int(nz[-1]) + 2 if nz.size else 1)  # row d-1 -> d, +1 slack
+    return tuple(min(r, spec.w_short) for r in reaches)
+
+
+@pytest.mark.parametrize("which", ["dna1", "dna2"])
+def test_per_term_reaches_match_full_band(which, sys_dna1, sys_dna2):
+    """w_terms-pruned kernel == full-band forces: a term is EXACTLY zero
+    beyond its cutoff's reach, so skipping it there must not move the
+    gradient beyond summation-order noise. Reaches are measured from the
+    actual configuration so the segment machinery genuinely engages (on
+    this duplex the builder's per-cutoff reaches all coincide)."""
+    topology, body, e, band, ctx_full = sys_dna1 if which == "dna1" else sys_dna2
+    bsoa = soa.to_soa(body)
+    w_terms = _nonzero_term_reaches(ctx_full, bsoa)
+    assert min(w_terms) < band.w_short  # pruning engages
+    ctx = st.prepare_stencil_context(
+        e, band.w_short, band.w_wide, perm=strand_interleave_perm(topology),
+        w_terms=w_terms,
+    )
+    assert len(st._segments(ctx.spec)) > 1
+    g_full = st.stencil_grads_ctx(e, ctx_full, bsoa)
+    g_t = st.stencil_grads_ctx(e, ctx, bsoa)
+    for x, y in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_t), strict=True):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5, rtol=1e-5)
+
+
+def test_band_builder_records_term_levels(sys_dna2):
+    """term_cutoffs plumb through to per-term levels and the validity check."""
+    topology, body, *_ = sys_dna2
+    band = stencil_band_for_topology(
+        spaces.free()[0],
+        topology,
+        dna2.default_neighbor_cutoff(),
+        dr_threshold=0.5,
+        init_centers=body.center,
+        r_cutoff_inner=dna2.short_range_neighbor_cutoff(),
+        perm=strand_interleave_perm(topology),
+        term_cutoffs=dna2.per_term_neighbor_cutoffs(),
+    )
+    assert band.w_terms is not None and len(band.w_terms) == 4
+    assert all(w <= band.w_short for w in band.w_terms)
+    assert not bool(band.did_overflow)
