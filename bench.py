@@ -26,17 +26,12 @@ MODE = sys.argv[4] if len(sys.argv) > 4 else "stencil"
 TARGET_NT_STEPS_PER_MIN = 1e6 * 10_000  # 10k-nt at 1e6 steps/min
 
 
-def main() -> None:
-    from __graft_entry__ import _build_sim, _tiny_duplex
+def _compile_tier(topology, body, kT: float, mode: str):
+    """Build + compile + warm up one tier; returns (run, params)."""
+    from __graft_entry__ import _build_sim
 
-    kT = 296.15 * 0.1 / 300.0
-    topology, body = _tiny_duplex(N_BP)
-    # oxDNA2 on the SoA hot path: the flagship configuration the north-star
-    # metric (BASELINE.json) is defined against. Default tier is the banded
-    # stencil (ops/stencil.py, near-linear layouts); pass mode "block" for
-    # the block-sparse tile path (general conformations).
     _, sim = _build_sim(
-        topology, kT, mode=MODE, init_centers=body.center, model="dna2", block_size=BLOCK
+        topology, kT, mode=mode, init_centers=body.center, model="dna2", block_size=BLOCK
     )
     # thin trajectory emission so the benchmark measures stepping, not HBM
     # writes; keep it a multiple of neighbor_update_every
@@ -47,9 +42,35 @@ def main() -> None:
     run = jax.jit(lambda p, k: sim.run(p, body, N_STEPS, k).observables[0].center)
     params = sim.energy_fn.opt_params()
 
-    key = jax.random.PRNGKey(0)
-    out = run(params, key)
+    out = run(params, jax.random.PRNGKey(0))
     out.block_until_ready()  # compile + warm up
+    return run, params
+
+
+def main() -> None:
+    from __graft_entry__ import _tiny_duplex
+
+    kT = 296.15 * 0.1 / 300.0
+    topology, body = _tiny_duplex(N_BP)
+    # oxDNA2 on the SoA hot path: the flagship configuration the north-star
+    # metric (BASELINE.json) is defined against. Default tier is the banded
+    # stencil (ops/stencil.py, near-linear layouts); pass mode "block" for
+    # the block-sparse tile path (general conformations).
+    #
+    # A kernel compile failure on the requested tier DEGRADES to the block
+    # tier with a warning instead of crashing the benchmark (the r02
+    # postmortem: a stencil VMEM OOM turned the round's record into rc=1).
+    try:
+        run, params = _compile_tier(topology, body, kT, MODE)
+    except Exception as e:  # noqa: BLE001 — any compile/runtime failure
+        if MODE == "block":
+            raise
+        print(
+            f"bench: tier {MODE!r} failed to compile/run ({type(e).__name__}: "
+            f"{str(e)[:500]}); falling back to 'block'",
+            file=sys.stderr,
+        )
+        run, params = _compile_tier(topology, body, kT, "block")
 
     t0 = time.perf_counter()
     reps = 3

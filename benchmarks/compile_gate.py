@@ -1,0 +1,116 @@
+"""Hardware compile/run gate for the flagship configurations.
+
+AOT-compiles (jit -> lower -> compile) and then executes ONE step of every
+program the benchmark and DiffTRe workflows depend on, at flagship shapes,
+on the REAL backend (no interpret mode). Run this before every snapshot:
+
+    python benchmarks/compile_gate.py            # all gates
+    python benchmarks/compile_gate.py --fast     # stencil + block only
+
+Exit code 0 = all green. This exists because round 2 shipped a Pallas
+VMEM OOM that only manifested at hardware compile time (BENCH_r02 rc=1):
+the interpret-mode test suite validates kernel math but not Mosaic
+lowering or VMEM budgets. See VERDICT.md (round 2) weakness #3.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+# the gate must exercise the REAL compiler; refuse to run in interpret mode
+os.environ.pop("MYTHOS_TPU_PALLAS_INTERPRET", None)
+
+import jax
+import jax.numpy as jnp
+
+FLAGSHIP_N_BP = 5000  # 10k nt, the north-star system size
+SIZES_NT = (10_000, 16_000, 50_000)  # VERDICT r2 item 1: clean runs at all three
+
+
+def _gate(name: str, fn, *args) -> bool:
+    t0 = time.perf_counter()
+    try:
+        lowered = jax.jit(fn).lower(*args)
+        compiled = lowered.compile()
+        out = compiled(*args)
+        jax.block_until_ready(out)
+        leaves = jax.tree_util.tree_leaves(out)
+        finite = all(
+            bool(jnp.all(jnp.isfinite(x))) for x in leaves if hasattr(x, "dtype")
+        )
+        dt = time.perf_counter() - t0
+        if not finite:
+            print(f"[compile-gate] {name}: FAIL (non-finite output) [{dt:.1f}s]")
+            return False
+        print(f"[compile-gate] {name}: OK [{dt:.1f}s]")
+        return True
+    except Exception as e:  # noqa: BLE001
+        dt = time.perf_counter() - t0
+        print(f"[compile-gate] {name}: FAIL ({type(e).__name__}: {str(e)[:300]}) [{dt:.1f}s]")
+        return False
+
+
+def _sim_step_gate(n_bp: int, mode: str) -> bool:
+    from __graft_entry__ import _build_sim, _tiny_duplex
+
+    kT = 296.15 * 0.1 / 300.0
+    topology, body = _tiny_duplex(n_bp)
+    _, sim = _build_sim(
+        topology, kT, mode=mode, init_centers=body.center, model="dna2", block_size=8
+    )
+    sim = sim.replace(save_every=sim.neighbor_update_every)
+    params = sim.energy_fn.opt_params()
+    n_steps = sim.neighbor_update_every  # one rebuild period
+
+    def run(p, k):
+        return sim.run(p, body, n_steps, k).observables[0].center
+
+    return _gate(f"{mode}@{topology.n_nucleotides}nt", run, params, jax.random.PRNGKey(0))
+
+
+def _difftre_map_gate(n_bp: int = 1000, n_states: int = 8) -> bool:
+    """The DiffTRe hot path: value_and_grad of energy-over-states map."""
+    from __graft_entry__ import _build_sim, _tiny_duplex
+
+    kT = 296.15 * 0.1 / 300.0
+    topology, body = _tiny_duplex(n_bp)
+    energy_fn, _ = _build_sim(
+        topology, kT, mode="block", init_centers=body.center, model="dna2"
+    )
+    from mythos_tpu.simulators.neighbors import block_neighbor_list_for_topology
+    from mythos_tpu import spaces
+    import mythos_tpu.energy.dna2 as dna2
+
+    states = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (n_states,) + x.shape), body
+    )
+    params = energy_fn.opt_params()
+
+    def loss(p):
+        e = energy_fn.with_params(p).map(states)
+        return e.sum()
+
+    return _gate(
+        f"difftre-map@{topology.n_nucleotides}nt x{n_states}",
+        jax.value_and_grad(loss),
+        params,
+    )
+
+
+def main() -> int:
+    fast = "--fast" in sys.argv
+    print(f"[compile-gate] backend: {jax.devices()}")
+    ok = True
+    for n_nt in SIZES_NT if not fast else (10_000,):
+        ok &= _sim_step_gate(n_nt // 2, "stencil")
+    ok &= _sim_step_gate(FLAGSHIP_N_BP, "block")
+    if not fast:
+        ok &= _difftre_map_gate()
+    print(f"[compile-gate] {'ALL GREEN' if ok else 'RED'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -31,7 +31,9 @@ def synthetic_duplex(n_bp: int = 8):
         n_nucleotides=n,
         strand_counts=np.array([n_bp, n_bp]),
         bonded_neighbors=bonded,
-        unbonded_neighbors=top.unbonded_pairs(n, bonded),
+        # unbonded_neighbors derives lazily on first access: materializing
+        # the O(N^2) list here costs ~20 GB at 50k nt and the block/stencil
+        # tiers never read it
         seq=np.array([const.NUCLEOTIDES_IDX[c] for c in s1 + s2], dtype=np.int32),
         is_end=is_end,
         nt_type=np.ones(n, np.int32),

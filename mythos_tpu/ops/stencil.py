@@ -126,8 +126,25 @@ class StencilContext(NamedTuple):
         return _permute(c, self.perm_t, self.inv_t)
 
 
-#: largest n for the all-terms-in-one reverse pass (see StencilSpec.fused_terms)
-_FUSED_TERMS_MAX_N = 16384
+#: measured scoped-VMEM stack cost of the fused two-group reverse schedule,
+#: per sublane row (bytes): 16.10 MB at S=80 sublanes (the BENCH_r02 OOM,
+#: reproduced on v5e) -> ~206 KB per sublane row. VMEM pressure scales with
+#: the sublane extent S = _layout_s(n, w_wide), NOT with n directly -- the
+#: r02 regression gated on n and shipped a compile crash at n=10k (S=80).
+_FUSED_VMEM_PER_S = 210 * 1024
+
+#: scoped-VMEM budget requested from Mosaic via CompilerParams. v5e has
+#: 128 MB VMEM per core; the 16 MB default scoped limit is far below it.
+#: Headroom is left for the resident operands (~32 (S,128) f32 arrays) and
+#: compiler temporaries.
+_KERNEL_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _fused_terms_fits(n: int, w_wide: int) -> bool:
+    """True when the fused two-group reverse schedule's scoped-VMEM stack
+    fits the requested budget at this layout's sublane extent."""
+    s = _layout_s(n, w_wide)
+    return _FUSED_VMEM_PER_S * s <= int(0.85 * _KERNEL_VMEM_LIMIT)
 
 
 def _roll(x: Arr, d: int) -> Arr:
@@ -223,6 +240,10 @@ def prepare_stencil_context(
             raise ValueError(
                 f"w_terms must order (exc, hb, cross, coax); got {w_terms!r}"
             )
+        if any(int(w) < 1 for w in w_terms):
+            # _segments silently drops a term whose clamped reach is 0,
+            # which would disable it everywhere with no diagnostic
+            raise ValueError(f"w_terms entries must be >= 1; got {w_terms!r}")
         w_terms = tuple(min(int(w), w_short) for w in w_terms)
     spec = StencilSpec(
         n=n,
@@ -232,10 +253,11 @@ def prepare_stencil_context(
         coax_variant=coax_variant,
         geometry=_geometry_of(first),
         pseq=pseq_flag,
-        # all-terms-in-one reverse pass: every term's residuals live at
-        # once (~150 (S, 128) f32 arrays) -- fits the 16 MB VMEM budget up
-        # to S = 128 sublanes; fall back to per-term passes beyond
-        fused_terms=n <= _FUSED_TERMS_MAX_N,
+        # grouped reverse passes: every group's residuals live at once
+        # (~150 (S, 128) f32 arrays); gated on the SUBLANE EXTENT the
+        # layout will use (VMEM scales with S, not n) against the scoped
+        # budget requested from Mosaic; per-term passes beyond
+        fused_terms=_fused_terms_fits(n, w_wide),
         w_terms=w_terms,
     )
 
@@ -1130,6 +1152,10 @@ def _kernel_field_grads(
         out_shape=jax.ShapeDtypeStruct((7, s, 128), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        # raise the 16 MB default scoped-VMEM limit (v5e: 128 MB/core);
+        # the fused reverse schedule's stack is ~206 KB per sublane row
+        # (see _FUSED_VMEM_PER_S) and busts the default at S >= 80
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_KERNEL_VMEM_LIMIT),
         interpret=_interpret(),
     )(params_vec, gt, dyn_l, wt_l, pn_l, qf_l)
 

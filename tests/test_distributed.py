@@ -37,23 +37,43 @@ assert n == 4, f"expected 4 global devices, got {n}"  # 2 local per process
 
 mesh = make_mesh()  # spans both processes
 
+# a REAL Langevin episode per replica (not a toy loss): 4-bp dna1 duplex,
+# direct-diff of a trajectory statistic through the dynamics, psum'd over
+# the cross-process mesh
+import mythos_tpu.energy.dna1 as dna1
+from __graft_entry__ import _build_sim, _tiny_duplex
+from mythos_tpu.observables import PropellerTwist
 
-def loss_fn(params, key):
-    noise = jax.random.normal(key, ())
-    return jnp.sum((params["w"] - noise) ** 2)
+kT = 296.15 * 0.1 / 300.0
+n_bp = 4
+topology, body = _tiny_duplex(n_bp)
+energy_fn, sim = _build_sim(topology, kT, mode="dense")
+params = energy_fn.opt_params()
+nn = topology.n_nucleotides
+bps = jnp.array([[i, nn - 1 - i] for i in range(n_bp)], dtype=jnp.int32)
+observable = PropellerTwist(
+    rigid_body_transform_fn=dna1.default_transform_fn(), h_bonded_base_pairs=bps
+)
+
+
+def loss_fn(opt_params, key):
+    traj = sim.run(opt_params, body, 4, key).observables[0]
+    return jnp.mean((observable(traj) - 21.7) ** 2)
 
 
 grad_step = replica_grad_fn(loss_fn, mesh)
 keys = jax.random.split(jax.random.PRNGKey(0), n)
-params = {"w": jnp.asarray(1.5)}
 loss, grads = grad_step(params, jax.random.key_data(keys))
 
-# replicas agree across processes: compare against a local replay
-ref_noise = jnp.stack([jax.random.normal(k, ()) for k in keys])
-ref_loss = jnp.mean((params["w"] - ref_noise) ** 2)
-ref_grad = jnp.mean(2.0 * (params["w"] - ref_noise))
-assert abs(float(loss) - float(ref_loss)) < 1e-5, (loss, ref_loss)
-assert abs(float(grads["w"]) - float(ref_grad)) < 1e-5, (grads, ref_grad)
+assert jnp.isfinite(loss), loss
+g = grads["eps_stack_base"]
+assert jnp.all(jnp.isfinite(g)), g
+
+# the psum'd gradient must equal the local mean over all 4 replica episodes
+ref = jnp.mean(
+    jnp.stack([jax.grad(loss_fn)(params, k)["eps_stack_base"] for k in keys])
+)
+assert abs(float(g) - float(ref)) < 1e-4, (g, ref)
 print(f"proc {jax.process_index()}: loss={float(loss):.6f} OK", flush=True)
 """
 
@@ -71,7 +91,8 @@ def test_two_process_replica_gradient(tmp_path):
         os.environ,
         PALLAS_AXON_POOL_IPS="",
         JAX_PLATFORMS="cpu",
-        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2"
+        " --xla_backend_optimization_level=0 --xla_llvm_disable_expensive_passes=true",
         COORD=f"127.0.0.1:{port}",
         JAX_ENABLE_X64="0",
     )

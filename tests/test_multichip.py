@@ -19,6 +19,39 @@ KT = 296.15 * 0.1 / 300.0
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs the virtual device mesh")
+def test_replica_run_over_mesh():
+    """Always-on mesh MD: forward replica episodes sharded over devices.
+
+    Cheap to compile (no grad-of-scan), so it stays in the default suite —
+    the only other multi-device coverage (the grad test below) is
+    slow-marked and the driver dryrun runs out-of-process.
+    """
+    from mythos_tpu.parallel import replica_run_fn
+
+    n_bp = 4
+    topology, body = _tiny_duplex(n_bp)
+    energy_fn, sim = _build_sim(topology, KT, mode="dense")
+    params = energy_fn.opt_params()
+
+    def run_fn(opt_params, key):
+        traj = sim.run(opt_params, body, 4, key).observables[0]
+        return traj.center[-1]
+
+    n_dev = min(len(jax.devices()), 8)
+    mesh = make_mesh(n_dev)
+    sharded = replica_run_fn(run_fn, mesh)
+    keys = jax.random.split(jax.random.PRNGKey(3), n_dev)
+    out = sharded(params, jax.random.key_data(keys))
+    assert out.shape == (n_dev, topology.n_nucleotides, 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # replicas use distinct keys: final positions must differ across devices
+    assert float(jnp.max(jnp.abs(out[0] - out[1]))) > 0.0
+    # replica 0 must match a single-device replay with the same key
+    ref = run_fn(params, keys[0])
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs the virtual device mesh")
 @pytest.mark.slow
 def test_replica_grad_over_mesh():
     n_bp = 4
