@@ -1005,6 +1005,108 @@ def _view(x: Arr, x_sh: Arr, d, sub: Arr, s: int) -> Arr:
     return jnp.where(sub < s - d, a, b)
 
 
+def _band_grads_carry(kspec: KernelSpec, params, gt, fields, shifted, sub, wt_ref, pn_ref, qf, qf_sh, carry):
+    """Accumulate the unbonded band's 12 field cotangents into ``carry``.
+
+    ``carry`` is the ((acc x 12), (accm x 12)) pair of (S, 128) accumulators
+    — ``accm`` holds j-side rows that wrapped past the sublane extent and
+    belong one lane to the RIGHT (fixed by the caller's final lane-roll).
+    Shared by the single-step force kernel and the fused multi-step kernel.
+    """
+    spec = kspec.spec
+    s = kspec.s
+    lane = jax.lax.broadcasted_iota(jnp.int32, (s, 128), 1)
+    gidx = (sub + s * lane).astype(jnp.float32)
+    prev_f = pn_ref[0]
+    nxt_f = pn_ref[1]
+
+    def pair_mask(d):
+        jd = gidx + d.astype(jnp.float32)
+        return (jd < spec.n) & (prev_f != jd) & (nxt_f != jd)
+
+    def scatter_j(acc, accm, gflat, coefs, d):
+        """Accumulate per-pair j-side contributions onto particle i+d."""
+        out_acc, out_accm = list(acc), list(accm)
+        for k, g in zip(coefs, gflat, strict=True):
+            r = pltpu.roll(g, d, axis=0)
+            out_acc[k] = out_acc[k] + jnp.where(sub >= d, r, 0.0)
+            out_accm[k] = out_accm[k] + jnp.where(sub < d, r, 0.0)
+        return tuple(out_acc), tuple(out_accm)
+
+    def make_short_body(active):
+        need_hb = active is None or 1 in active
+
+        def short_body(d, carry):
+            acc, accm = carry
+            fj_flat = [_view(fields[k], shifted[k], d, sub, s) for k in range(12)]
+            fi = tuple(Vec3(*fields[3 * k : 3 * k + 3]) for k in range(4))
+            fj = tuple(Vec3(*fj_flat[3 * k : 3 * k + 3]) for k in range(4))
+            wt = wt_ref[d - 1] if need_hb else None
+            mask = pair_mask(d)
+            qfp = qf * _view(qf, qf_sh, d, sub, s) if spec.has_debye else None
+            gi, gj = _offset_grads(
+                fi, fj, params, gt, wt, qfp, mask, spec, active=active
+            )
+            gi_flat = [c for vec in gi for c in vec]
+            gj_flat = [c for vec in gj for c in vec]
+            acc = tuple(a + g for a, g in zip(acc, gi_flat, strict=True))
+            return scatter_j(acc, accm, gj_flat, range(12), d)
+
+        return short_body
+
+    for lo, hi, active in _segments(spec):
+        carry = jax.lax.fori_loop(lo, hi + 1, make_short_body(active), carry)
+    acc, accm = carry
+
+    if spec.w_wide > spec.w_short:
+        import mythos_tpu.energy.dna2.terms as t2
+
+        p_debye = params[-1]
+        variant, offs = spec.geometry
+        a1b, a2b = (offs[0], offs[1]) if variant == "dna2" else (offs[0], 0.0)
+        com = Vec3(*fields[0:3])
+        a1 = Vec3(*fields[3:6])
+        a2 = Vec3(*fields[6:9])
+        back = com + a1b * a1 + a2b * a2
+        back_f = list(back)
+        back_sh = [pltpu.roll(b, 127, axis=1) for b in back_f]
+        gt_db = gt[-1]
+
+        def tail_body(d, carry):
+            acc, accm = carry
+            bj = Vec3(*(_view(back_f[k], back_sh[k], d, sub, s) for k in range(3)))
+            v = bj - back
+            r = _r(v)
+            mask = pair_mask(d)
+            qfp = qf * _view(qf, qf_sh, d, sub, s)
+
+            def tot(r_):
+                e = (
+                    t2.debye_potential(
+                        r_, p_debye.kappa, p_debye.prefactor,
+                        p_debye.smoothing_coeff, p_debye.r_cut, p_debye.r_high,
+                    )
+                    * qfp
+                )
+                return gt_db * jnp.where(mask, e, 0.0).sum()
+
+            sc = jax.grad(tot)(r) / r
+            g = v * sc  # dE/dback_i = -g, dE/dback_j = +g
+            gi = [-g.x, -g.y, -g.z, -a1b * g.x, -a1b * g.y, -a1b * g.z,
+                  -a2b * g.x, -a2b * g.y, -a2b * g.z]
+            acc = tuple(
+                a + gi[k] if k < 9 else a for k, a in enumerate(acc)
+            )
+            gj = [g.x, g.y, g.z, a1b * g.x, a1b * g.y, a1b * g.z,
+                  a2b * g.x, a2b * g.y, a2b * g.z]
+            return scatter_j(acc, accm, gj, range(9), d)
+
+        acc, accm = jax.lax.fori_loop(
+            spec.w_short + 1, spec.w_wide + 1, tail_body, (acc, accm)
+        )
+    return acc, accm
+
+
 def _make_stencil_kernel(kspec: KernelSpec):
     spec = kspec.spec
     s = kspec.s
@@ -1027,96 +1129,10 @@ def _make_stencil_kernel(kspec: KernelSpec):
         # pair validity from the slot index and bonded-partner fields (a
         # resident (w_wide, S, 128) mask table would blow the VMEM budget):
         # p = sub + S * lane; ids stay exact in f32 (n <= 2^24)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (s, 128), 1)
-        gidx = (sub + s * lane).astype(jnp.float32)
-        prev_f = pn_ref[0]
-        nxt_f = pn_ref[1]
-
-        def pair_mask(d):
-            jd = gidx + d.astype(jnp.float32)
-            return (jd < spec.n) & (prev_f != jd) & (nxt_f != jd)
-
-        def scatter_j(acc, accm, gflat, coefs, d):
-            """Accumulate per-pair j-side contributions onto particle i+d."""
-            out_acc, out_accm = list(acc), list(accm)
-            for k, g in zip(coefs, gflat, strict=True):
-                r = pltpu.roll(g, d, axis=0)
-                out_acc[k] = out_acc[k] + jnp.where(sub >= d, r, 0.0)
-                out_accm[k] = out_accm[k] + jnp.where(sub < d, r, 0.0)
-            return tuple(out_acc), tuple(out_accm)
-
-        def make_short_body(active):
-            need_hb = active is None or 1 in active
-
-            def short_body(d, carry):
-                acc, accm = carry
-                fj_flat = [_view(fields[k], shifted[k], d, sub, s) for k in range(12)]
-                fi = tuple(Vec3(*fields[3 * k : 3 * k + 3]) for k in range(4))
-                fj = tuple(Vec3(*fj_flat[3 * k : 3 * k + 3]) for k in range(4))
-                wt = wt_ref[d - 1] if need_hb else None
-                mask = pair_mask(d)
-                qfp = qf * _view(qf, qf_sh, d, sub, s) if spec.has_debye else None
-                gi, gj = _offset_grads(
-                    fi, fj, params, gt, wt, qfp, mask, spec, active=active
-                )
-                gi_flat = [c for vec in gi for c in vec]
-                gj_flat = [c for vec in gj for c in vec]
-                acc = tuple(a + g for a, g in zip(acc, gi_flat, strict=True))
-                return scatter_j(acc, accm, gj_flat, range(12), d)
-
-            return short_body
-
         carry = (tuple(zeros for _ in range(12)), tuple(zeros for _ in range(12)))
-        for lo, hi, active in _segments(spec):
-            carry = jax.lax.fori_loop(lo, hi + 1, make_short_body(active), carry)
-        acc, accm = carry
-
-        if spec.w_wide > spec.w_short:
-            import mythos_tpu.energy.dna2.terms as t2
-
-            p_debye = params[-1]
-            variant, offs = spec.geometry
-            a1b, a2b = (offs[0], offs[1]) if variant == "dna2" else (offs[0], 0.0)
-            com = Vec3(*fields[0:3])
-            a1 = Vec3(*fields[3:6])
-            a2 = Vec3(*fields[6:9])
-            back = com + a1b * a1 + a2b * a2
-            back_f = list(back)
-            back_sh = [pltpu.roll(b, 127, axis=1) for b in back_f]
-            gt_db = gt[-1]
-
-            def tail_body(d, carry):
-                acc, accm = carry
-                bj = Vec3(*(_view(back_f[k], back_sh[k], d, sub, s) for k in range(3)))
-                v = bj - back
-                r = _r(v)
-                mask = pair_mask(d)
-                qfp = qf * _view(qf, qf_sh, d, sub, s)
-
-                def tot(r_):
-                    e = (
-                        t2.debye_potential(
-                            r_, p_debye.kappa, p_debye.prefactor,
-                            p_debye.smoothing_coeff, p_debye.r_cut, p_debye.r_high,
-                        )
-                        * qfp
-                    )
-                    return gt_db * jnp.where(mask, e, 0.0).sum()
-
-                sc = jax.grad(tot)(r) / r
-                g = v * sc  # dE/dback_i = -g, dE/dback_j = +g
-                gi = [-g.x, -g.y, -g.z, -a1b * g.x, -a1b * g.y, -a1b * g.z,
-                      -a2b * g.x, -a2b * g.y, -a2b * g.z]
-                acc = tuple(
-                    a + gi[k] if k < 9 else a for k, a in enumerate(acc)
-                )
-                gj = [g.x, g.y, g.z, a1b * g.x, a1b * g.y, a1b * g.z,
-                      a2b * g.x, a2b * g.y, a2b * g.z]
-                return scatter_j(acc, accm, gj, range(9), d)
-
-            acc, accm = jax.lax.fori_loop(
-                spec.w_short + 1, spec.w_wide + 1, tail_body, (acc, accm)
-            )
+        acc, accm = _band_grads_carry(
+            kspec, params, gt, fields, shifted, sub, wt_ref, pn_ref, qf, qf_sh, carry
+        )
 
         tot = [acc[k] + pltpu.roll(accm[k], 1, axis=1) for k in range(12)]
         for k in range(3):
@@ -1203,3 +1219,644 @@ def _xla_field_grads_layout(
 @_kernel_field_grads.defjvp
 def _kernel_field_grads_jvp(kspec, primals, tangents):
     return jax.jvp(functools.partial(_xla_field_grads_layout, kspec), primals, tangents)
+
+
+# Fused multi-step kernel --------------------------------------------------
+#
+# The single-step path pays ~210 us of XLA per step at 10k nt around a
+# ~170 us force kernel (benchmarks/stencil_profile.py): layout round-trips,
+# the bonded-term XLA grads, the BAOAB integrator, and threefry RNG. The
+# multi-step kernel runs a whole neighbor-rebuild interval IN VMEM: the 19
+# (S, 128) state arrays (com, quat, momentum, angmom, force, torque) never
+# leave the chip; the bonded terms (slot offset 2 under the duplex
+# interleave) join the band accumulation; BAOAB and the OU noise run as
+# elementwise tails of the same kernel with the on-core PRNG.
+#
+# RNG: the OU normals are drawn OUTSIDE the kernel (one batched threefry
+# call per chunk, multistep_noise) and ride in as a (n_inner, 6, S, 128)
+# input — so the XLA reference consumes the SAME noise (kernel parity
+# testable thermostat-on, incl. interpret mode which lacks prng_seed), and
+# the direct-diff custom JVP is consistent with the kernel's primal.
+#
+# Physics parity sources: bonded terms mythos/energy/dna1/{fene,
+# bonded_excluded_volume,stacking}.py (reference), BAOAB
+# simulators/integrators.nvt_langevin_soa (this repo).
+
+
+class _UnsupportedMultiStep(ValueError):
+    """Raised when the configuration cannot run the fused multi-step path."""
+
+
+def _vsel(m, a: Vec3, b: Vec3) -> Vec3:
+    return Vec3(jnp.where(m, a.x, b.x), jnp.where(m, a.y, b.y), jnp.where(m, a.z, b.z))
+
+
+def _bonded_energy(fi, fj, bparams, gt_b, bd1: float, geometry, wstack, dirf):
+    """Masked bonded-pair energy for (slot i, slot i+2) pairs.
+
+    ``fi``/``fj`` are (com, a1, a2, a3) Vec3 quadruples (any shape);
+    ``dirf`` is +1 where slot i is the bond's 3'-side, -1 where the 5'-side,
+    0 where the pair is not bonded (mask). Works on both (S, 128) kernel
+    layouts and (N,) XLA arrays. Formula parity: dna1/dna2 Fene,
+    BondedExcludedVolume and Stacking shift paths (energy/dna1/terms.py
+    rowwise_soa; dna2 stacking uses the dna1-compatible backbone site for
+    its cosphi axes, energy/dna2/terms.py:45-49).
+    """
+    p_f, p_x, p_s = bparams
+    com_i, a1_i, a2_i, a3_i = fi
+    com_j, a1_j, a2_j, a3_j = fj
+    variant, offs = geometry
+    if variant == "dna2":
+        bx, by, hb_off, st_off = offs
+        backA_i = com_i + bx * a1_i + by * a2_i
+        backA_j = com_j + bx * a1_j + by * a2_j
+    else:
+        bb, hb_off, st_off = offs
+        backA_i = com_i + bb * a1_i
+        backA_j = com_j + bb * a1_j
+    mask = dirf != 0.0
+    pos = dirf > 0.0
+
+    e = 0.0
+    if p_f is not None:
+        r_back = _r(backA_j - backA_i)
+        e = e + gt_b[0] * jnp.where(
+            mask,
+            t1.v_fene_smooth(
+                r_back, p_f.eps_backbone, p_f.r0_backbone, p_f.delta_backbone,
+                p_f.fmax, p_f.finf,
+            ),
+            0.0,
+        ).sum()
+    if p_x is not None:
+        base_i = com_i + hb_off * a1_i
+        base_j = com_j + hb_off * a1_j
+        r_bb = _r(base_j - base_i)
+        u = _r(base_j - backA_i)  # back(3') -> base(5') when pos
+        v = _r(backA_j - base_i)
+        r_backbase = jnp.where(pos, u, v)
+        r_baseback = jnp.where(pos, v, u)
+        e = e + gt_b[1] * jnp.where(
+            mask,
+            t1._exc_vol_f3(r_bb, p_x.eps_exc, p_x.dr_star_base, p_x.sigma_base, p_x.b_base, p_x.dr_c_base)
+            + t1._exc_vol_f3(
+                r_backbase, p_x.eps_exc, p_x.dr_star_back_base, p_x.sigma_back_base,
+                p_x.b_back_base, p_x.dr_c_back_base,
+            )
+            + t1._exc_vol_f3(
+                r_baseback, p_x.eps_exc, p_x.dr_star_base_back, p_x.sigma_base_back,
+                p_x.b_base_back, p_x.dr_c_base_back,
+            ),
+            0.0,
+        ).sum()
+    if p_s is not None:
+        stack_i = com_i + st_off * a1_i
+        stack_j = com_j + st_off * a1_j
+        t_st = stack_j - stack_i
+        r_st = _r(t_st)
+        # the bonded-geometry convention is dr = site(3') - site(5')
+        # (displacement(ra, rb) = ra - rb with i the 3'-side); t_* here
+        # points slot i -> slot i+2, so flip by -dir
+        sgn = jnp.where(pos, -1.0, 1.0)
+        u_st = t_st * (sgn / r_st)
+        backB_i = com_i + bd1 * a1_i
+        backB_j = com_j + bd1 * a1_j
+        t_bk = backB_j - backB_i
+        u_bk = t_bk * (sgn / _r(t_bk))
+        n3 = _vsel(pos, a3_i, a3_j)
+        n5 = _vsel(pos, a3_j, a3_i)
+        a2_3 = _vsel(pos, a2_i, a2_j)
+        a2_5 = _vsel(pos, a2_j, a2_i)
+        from mythos_tpu.energy.dna1 import geometry as geo1
+
+        g = geo1.BondedGeometry(
+            dr_back=None, r_back=None, dr_stack=None, r_stack=r_st,
+            dr_base=None, dr_back_base=None, dr_base_back=None,
+            theta4=arccos_poly(vdot(n3, n5)),
+            theta5=jnp.pi - arccos_poly(vdot(n5, u_st)),
+            theta6=jnp.pi - arccos_poly(vdot(n3, u_st)),
+            cosphi1=-vdot(a2_3, u_bk),
+            cosphi2=-vdot(a2_5, u_bk),
+        )
+        e = e + gt_b[2] * jnp.where(
+            mask, wstack * _bare(t1.Stacking, p_s).stack_product(g), 0.0
+        ).sum()
+    return e
+
+
+def _bonded_grads_carry(kspec, bparams, gt_b, bd1, fields, shifted, sub, wstack, dirf, carry):
+    """Add the bonded offset-2 pair gradients into the band carry."""
+    s = kspec.s
+    spec = kspec.spec
+    fj_flat = [_view(fields[k], shifted[k], 2, sub, s) for k in range(12)]
+
+    def e_of(fi_t, fj_t):
+        fi = tuple(Vec3(*fi_t[3 * k : 3 * k + 3]) for k in range(4))
+        fj = tuple(Vec3(*fj_t[3 * k : 3 * k + 3]) for k in range(4))
+        return _bonded_energy(fi, fj, bparams, gt_b, bd1, spec.geometry, wstack, dirf)
+
+    gi_t, gj_t = jax.grad(e_of, argnums=(0, 1))(tuple(fields), tuple(fj_flat))
+    acc, accm = list(carry[0]), list(carry[1])
+    for k in range(12):
+        acc[k] = acc[k] + gi_t[k]
+        r = pltpu.roll(gj_t[k], 2, axis=0)
+        acc[k] = acc[k] + jnp.where(sub >= 2, r, 0.0)
+        accm[k] = accm[k] + jnp.where(sub < 2, r, 0.0)
+    return tuple(acc), tuple(accm)
+
+
+class MultiStepSpec(NamedTuple):
+    """Static configuration of the fused multi-step kernel (hashable)."""
+
+    kspec: KernelSpec
+    p_treedef: object  # treedef over (unbonded..., bonded...) params
+    leaf_shapes: tuple
+    n_ub: int
+    bonded_flags: tuple  # (fene, bexc, stacking) presence
+    bd1: float  # dna1-compatible backbone offset (stacking cosphi sites)
+    n_inner: int
+    dt: float
+    # OU constants (static: scalar mass/gamma in the flagship contract)
+    c_t: float
+    s_t: float
+    c_r: tuple
+    s_r: tuple
+    half_inv_m: float
+    inv_inertia: tuple
+
+
+class MultiStepContext(NamedTuple):
+    """Loop-invariant inputs of the multi-step kernel."""
+
+    mspec: MultiStepSpec
+    sctx: StencilContext  # for perm application / layout round-trips
+    params_vec: Arr  # (1, P) packed unbonded+bonded params (traced)
+    gt: Arr  # (1, 8): unbonded weights in 0..4, bonded in 5..7
+    bd_l: Arr  # (2, S, 128): [0] stacking pair weight, [1] dir flag
+
+
+_BONDED_ORDER = ("Fene", "BondedExcludedVolume", "Stacking")
+
+ERR_MS_KERNEL = "multi-step path requires the Pallas stencil kernel context"
+ERR_MS_SCALAR = "multi-step path requires scalar mass/gamma/inertia (got per-particle)"
+ERR_MS_BONDS = "multi-step path requires every bond at slot offset 2 (duplex interleave)"
+ERR_MS_PSEQ = "multi-step path does not support probabilistic sequences yet"
+
+
+def prepare_multistep_context(
+    composed, ctx: StencilContext, simulator_params, n_inner: int
+) -> MultiStepContext:
+    """Build the MultiStepContext or raise _UnsupportedMultiStep.
+
+    ``composed`` must carry updated params (the same object ctx was prepared
+    from) so parameter values trace into params_vec and the stacking weight
+    table.
+    """
+    if ctx.kernel_ctx is None:
+        raise _UnsupportedMultiStep(ERR_MS_KERNEL)
+    kctx = ctx.kernel_ctx
+    kspec = kctx.kspec
+    spec = kspec.spec
+    s = kspec.s
+
+    # bonded terms by name (absent terms are simply skipped)
+    unbonded_idx = {i for i, _ in ctx.unbonded}
+    by_name = {
+        type(fn).__name__: (i, fn)
+        for i, fn in enumerate(composed.energy_fns)
+        if i not in unbonded_idx
+    }
+    bonded = [by_name.get(nm) for nm in _BONDED_ORDER]
+    extra = set(by_name) - set(_BONDED_ORDER)
+    if extra:
+        raise _UnsupportedMultiStep(
+            f"multi-step path has no in-kernel physics for bonded terms {sorted(extra)}"
+        )
+    w = composed.weights
+    gt_b = [1.0 if w is None or e is None else w[e[0]] for e in bonded]
+    bparams = [None if e is None else e[1].params for e in bonded]
+    if bparams[2] is not None and bparams[2].pseq:
+        raise _UnsupportedMultiStep(ERR_MS_PSEQ)
+
+    # scalar-only integrator constants
+    mass = simulator_params.mass
+    gamma = simulator_params.gamma
+    m = np.asarray(mass.center, np.float64).reshape(-1)
+    inertia = np.asarray(mass.orientation, np.float64).reshape(-1, 3)
+    g_t = np.asarray(gamma.center, np.float64).reshape(-1)
+    g_r = np.asarray(gamma.orientation, np.float64).reshape(-1)
+    if m.shape[0] != 1 or inertia.shape[0] != 1 or g_t.shape[0] != 1 or g_r.shape[0] != 1:
+        raise _UnsupportedMultiStep(ERR_MS_SCALAR)
+    dt = float(simulator_params.dt)
+    kT = float(simulator_params.kT)
+    inv_m = 1.0 / float(m[0])
+    inv_i = tuple(1.0 / float(v) for v in inertia[0])
+    c_t = float(np.exp(-g_t[0] * dt * inv_m))
+    s_t = float(np.sqrt((1.0 - c_t * c_t) * kT / inv_m))
+    c_r = tuple(float(np.exp(-g_r[0] * dt * ii)) for ii in inv_i)
+    s_r = tuple(
+        float(np.sqrt((1.0 - cr * cr) * kT * iv))
+        for cr, iv in zip(c_r, (1.0 / i for i in inv_i), strict=True)
+    )
+
+    # every bond must sit at slot offset 2 with a known direction
+    n = spec.n
+    first = ctx.unbonded[0][1]
+    bn = np.asarray(first.bonded_neighbors).reshape(-1, 2)
+    if ctx.inv_t is not None:
+        inv = np.asarray(ctx.inv_t)
+        slot_bn = inv[bn]
+    else:
+        slot_bn = bn
+    dirf = np.zeros(n, np.float32)
+    for a, b in slot_bn:  # a = 3'-side slot, b = 5'-side slot
+        lo, hi = (int(a), int(b)) if a < b else (int(b), int(a))
+        if hi - lo != 2:
+            raise _UnsupportedMultiStep(ERR_MS_BONDS)
+        dirf[lo] = 1.0 if a < b else -1.0
+
+    # stacking pair weight for (slot p, p+2): eps_stack[seq_3', seq_5']
+    wstack = jnp.zeros((n,), jnp.float32)
+    if bparams[2] is not None:
+        seq = np.asarray(first.seq)
+        if ctx.perm_t is not None:
+            seq = seq[np.asarray(ctx.perm_t)]
+        seq_j = np.roll(seq, -2)
+        s3 = np.where(dirf > 0, seq, seq_j)
+        s5 = np.where(dirf > 0, seq_j, seq)
+        oh3 = jnp.asarray(np.eye(4, dtype=np.float32)[np.clip(s3, 0, 3)])
+        oh5 = jnp.asarray(np.eye(4, dtype=np.float32)[np.clip(s5, 0, 3)])
+        eps = jnp.asarray(bparams[2].eps_stack, jnp.float32)
+        wstack = jnp.einsum("na,ab,nb->n", oh3, eps, oh5)
+    bd_l = jnp.stack([_to_layout(wstack, s), _to_layout(jnp.asarray(dirf), s)])
+
+    all_params = list(ctx.params) + [p for p in bparams if p is not None]
+    params_vec, (treedef, leaf_shapes) = pack_params(all_params)
+
+    n_terms = 5 if spec.has_debye else 4
+    gt_arr = jnp.zeros((1, 8), jnp.float32)
+    gt_ub = _gt_of(composed, ctx.unbonded)
+    gt_arr = gt_arr.at[0, :n_terms].set(jnp.stack([jnp.asarray(g, jnp.float32) for g in gt_ub]))
+    gt_arr = gt_arr.at[0, 5:8].set(jnp.stack([jnp.asarray(g, jnp.float32) for g in gt_b]))
+
+    variant, offs = spec.geometry
+    if variant == "dna2":
+        bd1 = _bd1_of(first)
+    else:
+        bd1 = float(offs[0])
+
+    mspec = MultiStepSpec(
+        kspec=kspec,
+        p_treedef=treedef,
+        leaf_shapes=leaf_shapes,
+        n_ub=len(ctx.params),
+        bonded_flags=tuple(p is not None for p in bparams),
+        bd1=bd1,
+        n_inner=int(n_inner),
+        dt=dt,
+        c_t=c_t,
+        s_t=s_t,
+        c_r=c_r,
+        s_r=s_r,
+        half_inv_m=0.5 * dt * inv_m,
+        inv_inertia=inv_i,
+    )
+    return MultiStepContext(
+        mspec=mspec, sctx=ctx, params_vec=params_vec, gt=gt_arr, bd_l=bd_l
+    )
+
+
+def _bd1_of(first) -> float:
+    """dna1-compatible backbone offset from the transform partial (the site
+    dna2 stacking computes its cosphi axes against,
+    energy/dna2/nucleotide.py:81)."""
+    kw = getattr(first.transform_soa_fn, "keywords", None) or {}
+    if "com_to_backbone_dna1" in kw:
+        return float(kw["com_to_backbone_dna1"])
+    if "com_to_backbone" in kw:
+        return float(kw["com_to_backbone"])
+    raise _UnsupportedMultiStep("transform carries no backbone offset")
+
+
+def multistep_noise(key, mspec: MultiStepSpec) -> Arr:
+    """(n_inner, 6, S, 128) standard normals for one chunk.
+
+    Noise is drawn OUTSIDE the kernel (one batched threefry call per chunk,
+    ~0.3 us/step of HBM traffic) rather than with the on-core PRNG: the XLA
+    reference then consumes the SAME noise, making kernel-vs-reference
+    trajectories directly comparable WITH the thermostat on — and interpret
+    mode (which lacks prng_seed) stays testable."""
+    s = mspec.kspec.s
+    return jax.random.normal(key, (mspec.n_inner, 6, s, 128), jnp.float32)
+
+
+def _split_params(mspec: MultiStepSpec, p_ref_or_vec):
+    """Unpack the packed (unbonded..., bonded...) params into the two
+    groups, restoring Nones for absent bonded terms."""
+    allp = _unpack_params(p_ref_or_vec, mspec.p_treedef, mspec.leaf_shapes)
+    params_ub = tuple(allp[: mspec.n_ub])
+    rest = list(allp[mspec.n_ub :])
+    bparams = []
+    for flag in mspec.bonded_flags:
+        bparams.append(rest.pop(0) if flag else None)
+    return params_ub, tuple(bparams)
+
+
+def _force_torque_fields(mspec, params_ub, bparams, gt, gt_b, com3, quat, wt_ref, pn_ref, qf, qf_sh, wstack, dirf, sub):
+    """In-kernel force + torque from layout-form (com, quat)."""
+    kspec = mspec.kspec
+    s = kspec.s
+    zeros = jnp.zeros((s, 128), jnp.float32)
+    (fa1, fa2, fa3), frame_vjp = jax.vjp(quat_frame_soa, quat)
+    fields = [*com3, *fa1, *fa2, *fa3]
+    shifted = [pltpu.roll(f, 127, axis=1) for f in fields]
+    carry = (tuple(zeros for _ in range(12)), tuple(zeros for _ in range(12)))
+    carry = _band_grads_carry(
+        kspec, params_ub, gt, fields, shifted, sub, wt_ref, pn_ref, qf, qf_sh, carry
+    )
+    if any(mspec.bonded_flags):
+        carry = _bonded_grads_carry(
+            kspec, bparams, gt_b, mspec.bd1, fields, shifted, sub, wstack, dirf, carry
+        )
+    acc, accm = carry
+    tot = [acc[k] + pltpu.roll(accm[k], 1, axis=1) for k in range(12)]
+    force = Vec3(-tot[0], -tot[1], -tot[2])
+    (g_quat,) = frame_vjp((Vec3(*tot[3:6]), Vec3(*tot[6:9]), Vec3(*tot[9:12])))
+    from mythos_tpu.soa import quat_cotangent_to_torque_soa
+
+    torque = quat_cotangent_to_torque_soa(quat, g_quat)
+    return force, torque
+
+
+def _make_multistep_kernel(mspec: MultiStepSpec):
+    kspec = mspec.kspec
+    spec = kspec.spec
+    s = kspec.s
+    n_terms = 5 if spec.has_debye else 4
+    half = 0.5 * mspec.dt
+
+    from mythos_tpu.soa import free_rotor_soa
+
+    def kernel(p_ref, gt_ref, noise_ref, st_ref, wt_ref, pn_ref, qf_ref, bd_ref, out_ref):
+        params_ub, bparams = _split_params(mspec, p_ref)
+        gt = [gt_ref[0, t] for t in range(n_terms)]
+        gt_b = [gt_ref[0, 5], gt_ref[0, 6], gt_ref[0, 7]]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (s, 128), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (s, 128), 1)
+        valid = (sub + s * lane) < spec.n
+        qf = qf_ref[...]
+        qf_sh = pltpu.roll(qf, 127, axis=1)
+        wstack = bd_ref[0]
+        dirf = bd_ref[1]
+
+        def force_torque(com3, quat):
+            return _force_torque_fields(
+                mspec, params_ub, bparams, gt, gt_b, com3, quat,
+                wt_ref, pn_ref, qf, qf_sh, wstack, dirf, sub,
+            )
+
+        def noise(t):
+            # pad rows stay exactly frozen: no thermal kicks
+            return [jnp.where(valid, noise_ref[t, k], 0.0) for k in range(6)]
+
+        com = Vec3(st_ref[0], st_ref[1], st_ref[2])
+        # pad rows carry identity quats so the free rotor stays finite
+        qw = jnp.where(valid, st_ref[3], 1.0)
+        quat = Quat(qw, st_ref[4], st_ref[5], st_ref[6])
+        p = Vec3(st_ref[7], st_ref[8], st_ref[9])
+        ell = Vec3(st_ref[10], st_ref[11], st_ref[12])
+        force = Vec3(st_ref[13], st_ref[14], st_ref[15])
+        torque = Vec3(st_ref[16], st_ref[17], st_ref[18])
+
+        def step(t, carry):
+            com, quat, p, ell, force, torque = carry
+            # B
+            p = p + half * force
+            ell = ell + half * torque
+            # A (half)
+            com = com + mspec.half_inv_m * p
+            quat, ell = free_rotor_soa(quat, ell, mspec.inv_inertia, half)
+            # O: exact OU with static constants + chunk-batched normals
+            ns = noise(t)
+            p = Vec3(
+                mspec.c_t * p.x + mspec.s_t * ns[0],
+                mspec.c_t * p.y + mspec.s_t * ns[1],
+                mspec.c_t * p.z + mspec.s_t * ns[2],
+            )
+            ell = Vec3(
+                mspec.c_r[0] * ell.x + mspec.s_r[0] * ns[3],
+                mspec.c_r[1] * ell.y + mspec.s_r[1] * ns[4],
+                mspec.c_r[2] * ell.z + mspec.s_r[2] * ns[5],
+            )
+            # A (half)
+            com = com + mspec.half_inv_m * p
+            quat, ell = free_rotor_soa(quat, ell, mspec.inv_inertia, half)
+            # force refresh + B
+            force, torque = force_torque(tuple(com), quat)
+            p = p + half * force
+            ell = ell + half * torque
+            return com, quat, p, ell, force, torque
+
+        com, quat, p, ell, force, torque = jax.lax.fori_loop(
+            0, mspec.n_inner, step, (com, quat, p, ell, force, torque)
+        )
+        for k, arr in enumerate(
+            (*com, *quat, *p, *ell, *force, *torque)
+        ):
+            out_ref[k] = arr
+
+    return kernel
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _multistep_chunk_l(
+    mspec: MultiStepSpec, params_vec, gt, noise, state_l, wt_l, pn_l, qf_l, bd_l
+):
+    """(19, S, 128) -> (19, S, 128): n_inner fused BAOAB steps in one kernel.
+
+    State rows: com (3), quat (4), momentum (3), angmom (3), force (3),
+    torque (3). ``noise`` is the (n_inner, 6, S, 128) chunk of standard
+    normals from :func:`multistep_noise`. Differentiation falls back to the
+    XLA per-step reference (primal AND tangent, same noise — consistent).
+    """
+    s = mspec.kspec.s
+    return pl.pallas_call(
+        _make_multistep_kernel(mspec),
+        out_shape=jax.ShapeDtypeStruct((19, s, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(8)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_KERNEL_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(params_vec, gt, noise, state_l, wt_l, pn_l, qf_l, bd_l)
+
+
+def _xla_multistep_reference(
+    mspec: MultiStepSpec, params_vec, gt, noise, state_l, wt_l, pn_l, qf_l, bd_l
+):
+    """XLA reference of the multi-step chunk with the kernel's signature.
+
+    Same BAOAB/bonded/unbonded math over (N,) arrays and the SAME noise
+    chunk as the kernel — trajectories agree with the kernel to f32
+    reordering tolerance, thermostat on or off.
+    """
+    from mythos_tpu.soa import free_rotor_soa, quat_cotangent_to_torque_soa
+
+    kspec = mspec.kspec
+    spec = kspec.spec
+    n, s = spec.n, kspec.s
+    half = 0.5 * mspec.dt
+    params_ub, bparams = _split_params(mspec, params_vec)
+    n_terms = 5 if spec.has_debye else 4
+    gt_ub = [gt[0, t] for t in range(n_terms)]
+    gt_b = [gt[0, 5], gt[0, 6], gt[0, 7]]
+
+    rows = [_from_layout(state_l[k], n) for k in range(19)]
+    weight_d = jnp.stack([_from_layout(wt_l[k], n) for k in range(spec.w_short)])
+    qf = _from_layout(qf_l, n)
+    qf_d = (
+        jnp.stack([qf * _roll(qf, d) for d in range(1, spec.w_wide + 1)])
+        if spec.has_debye
+        else None
+    )
+    p1 = _from_layout(pn_l[0], n)
+    p2 = _from_layout(pn_l[1], n)
+    idx = jnp.arange(n, dtype=jnp.float32)
+    mask_d = jnp.stack(
+        [
+            (idx + d < n) & (p1 != idx + d) & (p2 != idx + d)
+            for d in range(1, spec.w_wide + 1)
+        ]
+    )
+    wstack = _from_layout(bd_l[0], n)
+    dirf = _from_layout(bd_l[1], n)
+
+    def force_torque(com, quat):
+        (fa1, fa2, fa3), frame_vjp = jax.vjp(quat_frame_soa, quat)
+        fields = (com, fa1, fa2, fa3)
+        acc = _xla_unbonded_field_grads(
+            spec, params_ub, weight_d, qf_d, mask_d, gt_ub, fields
+        )
+        if any(mspec.bonded_flags):
+
+            def e_b(fields_t):
+                fi = fields_t
+                fj = tuple(Vec3(*(jnp.roll(c, -2) for c in v)) for v in fields_t)
+                return _bonded_energy(
+                    fi, fj, bparams, gt_b, mspec.bd1, spec.geometry, wstack, dirf
+                )
+
+            g_b = jax.grad(e_b)(fields)
+            acc = [a + b for a, b in zip(acc, g_b, strict=True)]
+        force = Vec3(-acc[0].x, -acc[0].y, -acc[0].z)
+        (g_quat,) = frame_vjp((acc[1], acc[2], acc[3]))
+        torque = quat_cotangent_to_torque_soa(quat, g_quat)
+        return force, torque
+
+    com = Vec3(rows[0], rows[1], rows[2])
+    quat = Quat(rows[3], rows[4], rows[5], rows[6])
+    p = Vec3(rows[7], rows[8], rows[9])
+    ell = Vec3(rows[10], rows[11], rows[12])
+    force = Vec3(rows[13], rows[14], rows[15])
+    torque = Vec3(rows[16], rows[17], rows[18])
+
+    def step(carry, noise_t):
+        com, quat, p, ell, force, torque = carry
+        p = p + half * force
+        ell = ell + half * torque
+        com = com + mspec.half_inv_m * p
+        quat, ell = free_rotor_soa(quat, ell, mspec.inv_inertia, half)
+        ns = [_from_layout(noise_t[k], n) for k in range(6)]
+        p = Vec3(
+            mspec.c_t * p.x + mspec.s_t * ns[0],
+            mspec.c_t * p.y + mspec.s_t * ns[1],
+            mspec.c_t * p.z + mspec.s_t * ns[2],
+        )
+        ell = Vec3(
+            mspec.c_r[0] * ell.x + mspec.s_r[0] * ns[3],
+            mspec.c_r[1] * ell.y + mspec.s_r[1] * ns[4],
+            mspec.c_r[2] * ell.z + mspec.s_r[2] * ns[5],
+        )
+        com = com + mspec.half_inv_m * p
+        quat, ell = free_rotor_soa(quat, ell, mspec.inv_inertia, half)
+        force, torque = force_torque(com, quat)
+        p = p + half * force
+        ell = ell + half * torque
+        return (com, quat, p, ell, force, torque), None
+
+    (com, quat, p, ell, force, torque), _ = jax.lax.scan(
+        step, (com, quat, p, ell, force, torque), noise
+    )
+    out_rows = (*com, *quat, *p, *ell, *force, *torque)
+    return jnp.stack([_to_layout(c, s) for c in out_rows])
+
+
+@_multistep_chunk_l.defjvp
+def _multistep_chunk_l_jvp(mspec, primals, tangents):
+    return jax.jvp(functools.partial(_xla_multistep_reference, mspec), primals, tangents)
+
+
+def multistep_chunk(mctx: MultiStepContext, noise, state_l):
+    """Run one fused chunk (n_inner BAOAB steps) on layout-form state.
+
+    ``noise`` is the (n_inner, 6, S, 128) chunk from :func:`multistep_noise`.
+    """
+    kctx = mctx.sctx.kernel_ctx
+    return _multistep_chunk_l(
+        mctx.mspec, mctx.params_vec, mctx.gt, noise, state_l,
+        kctx.wt_l, kctx.pn_l, kctx.qf_l, mctx.bd_l,
+    )
+
+
+def state_to_layout(mctx: MultiStepContext, state) -> Arr:
+    """LangevinStateSoA ((N,) leaves, original order) -> (19, S, 128)."""
+    ctx = mctx.sctx
+    s = mctx.mspec.kspec.s
+
+    def pc(c):
+        c = ctx.apply_perm(c) if ctx.perm_t is not None else c
+        return _to_layout(c.astype(jnp.float32), s)
+
+    rows = [
+        *(pc(c) for c in state.position.center),
+        *(pc(c) for c in state.position.orientation),
+        *(pc(c) for c in state.momentum),
+        *(pc(c) for c in state.angmom),
+        *(pc(c) for c in state.force),
+        *(pc(c) for c in state.torque),
+    ]
+    return jnp.stack(rows)
+
+
+def _apply_inv_perm(ctx: StencilContext, c):
+    if ctx.perm_t is None:
+        return c
+    if ctx.perm_kind == "interleave2":
+        # inverse of interleave2: even slots -> first half, odd slots
+        # (reversed) -> second half
+        ev = c[0::2]
+        od = c[1::2]
+        return jnp.concatenate([ev, od[::-1]])
+    return _permute(c, ctx.inv_t, ctx.perm_t)
+
+
+def positions_from_layout(mctx: MultiStepContext, state_l):
+    """(19, S, 128) -> (com Vec3, quat Quat) with (N,) leaves in original
+    nucleotide order (for trajectory emission and the band check)."""
+    ctx = mctx.sctx
+    n = mctx.mspec.kspec.spec.n
+    comps = [_apply_inv_perm(ctx, _from_layout(state_l[k], n)) for k in range(7)]
+    return Vec3(*comps[0:3]), Quat(*comps[3:7])
+
+
+def slot_centers_from_layout(mctx: MultiStepContext, state_l):
+    """(N,) slot-order center components (the band check re-applies perm
+    itself, so hand it original-order positions via positions_from_layout)."""
+    n = mctx.mspec.kspec.spec.n
+    return Vec3(*(_from_layout(state_l[k], n) for k in range(3)))
+
+
+import os as _os  # noqa: E402
+
+#: route eligible stencil simulations through the fused multi-step kernel
+#: (tests/benchmarks flip with MYTHOS_TPU_MULTISTEP=0)
+USE_MULTISTEP = _os.environ.get("MYTHOS_TPU_MULTISTEP", "1") != "0"

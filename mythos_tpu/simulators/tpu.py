@@ -245,6 +245,7 @@ def build_run_fn(
         updated_energy_fn = energy_fn.with_params(opt_params)
 
         _grad_fn = None
+        ms_ctx = None
         if isinstance(neighbors, DensePairs):
             # dense path: the terms carry their (constant) pair masks
             def _energy_fn(body, unbonded_neighbors=None) -> Scalar:
@@ -269,6 +270,26 @@ def build_run_fn(
 
             def _grad_fn(body, unbonded_neighbors=None):
                 return ops_stencil.stencil_grads_ctx(updated_energy_fn, sctx, body)
+
+            # fused multi-step tier: a whole rebuild interval (integrator +
+            # bonded terms + OU noise) in ONE kernel call; falls back to the
+            # per-step path when the configuration is unsupported
+            if (
+                ops_stencil.USE_MULTISTEP
+                and sim_init is integrators.nvt_langevin_soa
+                and save_every > 1
+                and neighbor_update_every >= 1
+                and save_every % max(1, neighbor_update_every) == 0
+            ):
+                try:
+                    ms_ctx = ops_stencil.prepare_multistep_context(
+                        updated_energy_fn,
+                        sctx,
+                        simulator_params,
+                        max(1, neighbor_update_every),
+                    )
+                except ops_stencil._UnsupportedMultiStep:
+                    ms_ctx = None
         elif block_nbrs:
             # block-sparse tile path: the table rides the generic
             # unbonded_neighbors plumbing but binds as block_ids
@@ -358,6 +379,39 @@ def build_run_fn(
 
                 _, trajectory = scan_fn(apply_fn, state, None, length=n_steps // save_every)
                 n_states = n_steps // save_every
+        elif ms_ctx is not None:
+            # fused multi-step tier: layout-form state crosses chunk
+            # boundaries; each chunk = band check + one kernel call
+            from mythos_tpu.ops import stencil as ops_stencil
+
+            u = max(1, neighbor_update_every)
+            if n_steps % save_every:
+                raise ValueError(ERR_SAVE_EVERY.format(save_every, n_steps))
+            overflow0 = (
+                nbrs0.did_overflow if nbrs0.did_overflow is not None else jnp.asarray(False)
+            )
+            state_l0 = ops_stencil.state_to_layout(ms_ctx, state)
+            key_ms = jax.random.fold_in(key, 0x5CEA)
+
+            def ms_chunk(carry, _):
+                state_l, overflow, k = carry
+                k, sk = jax.random.split(k)
+                noise = ops_stencil.multistep_noise(sk, ms_ctx.mspec)
+                com, _quat = ops_stencil.positions_from_layout(ms_ctx, state_l)
+                _, ovf = nbrs0.build(tuple(com))
+                state_l = ops_stencil.multistep_chunk(ms_ctx, noise, state_l)
+                return (state_l, overflow | ovf, k), None
+
+            def apply_fn(carry, _):
+                carry, _ = jax.lax.scan(ms_chunk, carry, None, length=save_every // u)
+                com, quat = ops_stencil.positions_from_layout(ms_ctx, carry[0])
+                return carry, soa.BodySoA(center=com, orientation=quat)
+
+            final, trajectory = jax.lax.scan(
+                apply_fn, (state_l0, overflow0, key_ms), None, length=n_steps // save_every
+            )
+            overflow = final[1]
+            n_states = n_steps // save_every
         else:
             u = max(1, neighbor_update_every)
             overflow0 = (
