@@ -39,11 +39,20 @@ def _compile_tier(topology, body, kT: float, mode: str):
     save -= save % sim.neighbor_update_every
     sim = sim.replace(save_every=max(sim.neighbor_update_every, save))
 
-    run = jax.jit(lambda p, k: sim.run(p, body, N_STEPS, k).observables[0].center)
+    def run(p, k):
+        traj = sim.run(p, body, N_STEPS, k).observables[0]
+        ovf = traj.metadata["neighbor_overflow"] if traj.metadata else False
+        return traj.center, jnp.any(jnp.asarray(ovf))
+
+    run = jax.jit(run)
     params = sim.energy_fn.opt_params()
 
-    out = run(params, jax.random.PRNGKey(0))
+    out, ovf = run(params, jax.random.PRNGKey(0))
     out.block_until_ready()  # compile + warm up
+    if bool(ovf):
+        # flagged neighbor overflow = the reported physics was wrong;
+        # treat like a compile failure so the caller can degrade tiers
+        raise RuntimeError(f"neighbor overflow flagged on tier {mode!r}")
     return run, params
 
 
@@ -75,9 +84,11 @@ def main() -> None:
     t0 = time.perf_counter()
     reps = 3
     for i in range(reps):
-        out = run(params, jax.random.PRNGKey(i + 1))
+        out, ovf = run(params, jax.random.PRNGKey(i + 1))
     out.block_until_ready()
     elapsed = (time.perf_counter() - t0) / reps
+    if bool(ovf):
+        print("bench: neighbor overflow flagged during timing reps", file=sys.stderr)
 
     steps_per_min = N_STEPS / elapsed * 60.0
     nt_steps_per_min = steps_per_min * topology.n_nucleotides

@@ -58,7 +58,7 @@ def _sim_step_gate(n_bp: int, mode: str) -> bool:
     kT = 296.15 * 0.1 / 300.0
     topology, body = _tiny_duplex(n_bp)
     _, sim = _build_sim(
-        topology, kT, mode=mode, init_centers=body.center, model="dna2", block_size=8
+        topology, kT, mode=mode, init_centers=body.center, init_orientation=body.orientation, model="dna2", block_size=8
     )
     sim = sim.replace(save_every=sim.neighbor_update_every)
     params = sim.energy_fn.opt_params()

@@ -50,7 +50,7 @@ def main():
     kT = 296.15 * 0.1 / 300.0
     topology, body = _tiny_duplex(N_BP)
     _, sim = _build_sim(
-        topology, kT, mode="stencil", init_centers=body.center, model="dna2", block_size=8
+        topology, kT, mode="stencil", init_centers=body.center, init_orientation=body.orientation, model="dna2", block_size=8
     )
     e = sim.energy_fn.with_params(sim.energy_fn.opt_params())
     nb = sim.neighbors

@@ -220,3 +220,30 @@ __all__ = [
     "default_transform_fn",
     "max_site_offset",
 ]
+
+
+def per_term_site_cutoffs() -> dict:
+    """SITE-level radial supports per unbonded term (see the dna2
+    counterpart for semantics; dna1 has one backbone site and no Debye)."""
+    _, default_config = default_configs()
+    g = default_config["geometry"]
+    sites = {
+        "back": (float(g["com_to_backbone"]), 0.0),
+        "base": (float(g["com_to_hb"]), 0.0),
+        "stack": (float(g["com_to_stacking"]), 0.0),
+    }
+    params = {}
+    for cls, cfg in zip(default_energy_fns(), default_energy_configs(), strict=True):
+        params[cls.__name__] = cfg.init_params()
+    px = params["UnbondedExcludedVolume"]
+    terms = {
+        "UnbondedExcludedVolume": (
+            ("base", "base", float(px.dr_c_base)),
+            ("back", "base", max(float(px.dr_c_back_base), float(px.dr_c_base_back))),
+            ("back", "back", float(px.dr_c_backbone)),
+        ),
+        "HydrogenBonding": (("base", "base", float(params["HydrogenBonding"].dr_c_high_hb)),),
+        "CrossStacking": (("base", "base", float(params["CrossStacking"].dr_c_high_cross)),),
+        "CoaxialStacking": (("stack", "stack", float(params["CoaxialStacking"].dr_c_high_coax)),),
+    }
+    return {"sites": sites, "terms": terms}

@@ -265,3 +265,42 @@ __all__ = [
     "default_energy_fns",
     "default_transform_fn",
 ]
+
+
+def per_term_site_cutoffs() -> dict:
+    """SITE-level radial supports per unbonded term.
+
+    Feeds simulators.neighbors.stencil_band_for_topology(site_cutoffs=...):
+    per-term band reaches measured on the actual interaction-site distances
+    instead of COM distances inflated by 2 x max_site_offset — the COM
+    inflation makes every short-range term's reach collapse to the same
+    value (measured: w_terms=(15,15,15,15) at 10k nt, no pruning at all),
+    while site-level reaches separate them (hb/cross/coax stop ~6-9 slots).
+
+    Returns ``{"sites": {name: (a1_coeff, a2_coeff)}, "terms": {term_name:
+    ((site_a, site_b, bare_cutoff), ...)}}``; site positions are
+    com + a1_coeff * a1 + a2_coeff * a2.
+    """
+    _, default_config = default_configs()
+    g = default_config["geometry"]
+    sites = {
+        "back": (float(g["com_to_backbone_x"]), float(g["com_to_backbone_y"])),
+        "base": (float(g["com_to_hb"]), 0.0),
+        "stack": (float(g["com_to_stacking"]), 0.0),
+    }
+    params = {}
+    for cls, cfg in zip(default_energy_fns(), default_energy_configs(), strict=True):
+        params[cls.__name__] = cfg.init_params()
+    px = params["UnbondedExcludedVolume"]
+    terms = {
+        "UnbondedExcludedVolume": (
+            ("base", "base", float(px.dr_c_base)),
+            ("back", "base", max(float(px.dr_c_back_base), float(px.dr_c_base_back))),
+            ("back", "back", float(px.dr_c_backbone)),
+        ),
+        "HydrogenBonding": (("base", "base", float(params["HydrogenBonding"].dr_c_high_hb)),),
+        "CrossStacking": (("base", "base", float(params["CrossStacking"].dr_c_high_cross)),),
+        "CoaxialStacking": (("stack", "stack", float(params["CoaxialStacking"].dr_c_high_coax)),),
+        "Debye": (("back", "back", float(params["Debye"].r_cut)),),
+    }
+    return {"sites": sites, "terms": terms}

@@ -142,9 +142,13 @@ _KERNEL_VMEM_LIMIT = 100 * 1024 * 1024
 
 def _fused_terms_fits(n: int, w_wide: int) -> bool:
     """True when the fused two-group reverse schedule's scoped-VMEM stack
-    fits the requested budget at this layout's sublane extent."""
+    fits the requested budget at this layout's sublane extent.
+
+    The 0.6 factor leaves room for the multi-step kernel's VMEM residents
+    (19 state rows, the statics, and the bf16 noise chunk) on top of the
+    reverse-pass stack."""
     s = _layout_s(n, w_wide)
-    return _FUSED_VMEM_PER_S * s <= int(0.85 * _KERNEL_VMEM_LIMIT)
+    return _FUSED_VMEM_PER_S * s <= int(0.6 * _KERNEL_VMEM_LIMIT)
 
 
 def _roll(x: Arr, d: int) -> Arr:
@@ -1383,6 +1387,13 @@ class MultiStepSpec(NamedTuple):
     s_r: tuple
     half_inv_m: float
     inv_inertia: tuple
+    #: in-kernel band validity: ((fam_a, fam_b, cutoff, d_lo, d_hi), ...)
+    #: exact site-distance checks over the chunk's ENTRY positions, fams in
+    #: {"back", "base", "stack"} (sublane rolls make these nearly free
+    #: in-kernel vs ~50 us/step as XLA lane rolls); the far fold-back AABB
+    #: sweep stays host-side (StencilBand.far_check)
+    site_checks: tuple = ()
+    check_dm: int = 0
 
 
 class MultiStepContext(NamedTuple):
@@ -1404,7 +1415,12 @@ ERR_MS_PSEQ = "multi-step path does not support probabilistic sequences yet"
 
 
 def prepare_multistep_context(
-    composed, ctx: StencilContext, simulator_params, n_inner: int
+    composed,
+    ctx: StencilContext,
+    simulator_params,
+    n_inner: int,
+    site_checks=(),
+    check_dm: int = 0,
 ) -> MultiStepContext:
     """Build the MultiStepContext or raise _UnsupportedMultiStep.
 
@@ -1505,6 +1521,18 @@ def prepare_multistep_context(
     else:
         bd1 = float(offs[0])
 
+    known = {"back", "base", "stack"}
+    checks = tuple(
+        (str(fa), str(fb), float(cu), int(d_lo), int(d_hi))
+        for fa, fb, cu, d_lo, d_hi in (site_checks or ())
+        if fa in known and fb in known
+    )
+    if int(check_dm) >= kspec.s:
+        # sublane rolls alias at d >= S: the in-kernel exact checks cannot
+        # cover the range — leave them host-side (tpu.py falls back to the
+        # band's full build() check when site_checks is empty here)
+        checks = ()
+        check_dm = 0
     mspec = MultiStepSpec(
         kspec=kspec,
         p_treedef=treedef,
@@ -1520,6 +1548,8 @@ def prepare_multistep_context(
         s_r=s_r,
         half_inv_m=0.5 * dt * inv_m,
         inv_inertia=inv_i,
+        site_checks=checks,
+        check_dm=int(check_dm),
     )
     return MultiStepContext(
         mspec=mspec, sctx=ctx, params_vec=params_vec, gt=gt_arr, bd_l=bd_l
@@ -1547,7 +1577,10 @@ def multistep_noise(key, mspec: MultiStepSpec) -> Arr:
     trajectories directly comparable WITH the thermostat on — and interpret
     mode (which lacks prng_seed) stays testable."""
     s = mspec.kspec.s
-    return jax.random.normal(key, (mspec.n_inner, 6, s, 128), jnp.float32)
+    # bf16: halves the chunk's HBM traffic and VMEM residency; thermal
+    # noise needs no more than 8 mantissa bits (the OU scale factors are
+    # exact f32 constants; the kernel upcasts on read)
+    return jax.random.normal(key, (mspec.n_inner, 6, s, 128), jnp.bfloat16)
 
 
 def _split_params(mspec: MultiStepSpec, p_ref_or_vec):
@@ -1617,7 +1650,10 @@ def _make_multistep_kernel(mspec: MultiStepSpec):
 
         def noise(t):
             # pad rows stay exactly frozen: no thermal kicks
-            return [jnp.where(valid, noise_ref[t, k], 0.0) for k in range(6)]
+            return [
+                jnp.where(valid, noise_ref[t, k].astype(jnp.float32), 0.0)
+                for k in range(6)
+            ]
 
         com = Vec3(st_ref[0], st_ref[1], st_ref[2])
         # pad rows carry identity quats so the free rotor stays finite
@@ -1627,6 +1663,65 @@ def _make_multistep_kernel(mspec: MultiStepSpec):
         ell = Vec3(st_ref[10], st_ref[11], st_ref[12])
         force = Vec3(st_ref[13], st_ref[14], st_ref[15])
         torque = Vec3(st_ref[16], st_ref[17], st_ref[18])
+
+        # in-kernel band validity on the chunk's ENTRY positions: exact
+        # site distances at offsets beyond each term's reach must stay
+        # outside the bare cutoffs (the far fold-back sweep runs host-side)
+        viol = jnp.zeros((s, 128), jnp.float32)
+        if mspec.site_checks:
+            variant, offs = spec.geometry
+            ca1, ca2, _ = quat_frame_soa(quat)
+            if variant == "dna2":
+                bx, by, hb_off, st_off = offs
+                back = com + bx * ca1 + by * ca2
+            else:
+                bb_off, hb_off, st_off = offs
+                back = com + bb_off * ca1
+            sitemap = {
+                "back": back,
+                "base": com + hb_off * ca1,
+                "stack": com + st_off * ca1,
+            }
+            fams = sorted({(fa, fb) for fa, fb, _, _, _ in mspec.site_checks})
+            comps, offsets_of = [], {}
+            for nm in sorted({x for f in fams for x in f}):
+                offsets_of[nm] = len(comps)
+                comps.extend(sitemap[nm])
+            shifted_c = [pltpu.roll(c, 127, axis=1) for c in comps]
+            gidxf = (sub + s * lane).astype(jnp.float32)
+            prev_f = pn_ref[0]
+            nxt_f = pn_ref[1]
+            for d in range(1, mspec.check_dm + 1):
+                active = [
+                    (fa, fb, cu)
+                    for fa, fb, cu, d_lo, d_hi in mspec.site_checks
+                    if d_lo < d <= d_hi
+                ]
+                if not active:
+                    continue
+                jd = gidxf + float(d)
+                mask = (jd < spec.n) & (prev_f != jd) & (nxt_f != jd)
+                views = {}
+                for fa, fb, cu in active:
+                    for nm in (fa, fb):
+                        if nm not in views:
+                            k0 = offsets_of[nm]
+                            views[nm] = [
+                                _view(comps[k0 + k], shifted_c[k0 + k], d, sub, s)
+                                for k in range(3)
+                            ]
+                for fa, fb, cu in active:
+                    ka, kb = offsets_of[fa], offsets_of[fb]
+                    d2 = sum(
+                        (views[fb][k] - comps[ka + k]) ** 2 for k in range(3)
+                    )
+                    hit = mask & (d2 < cu * cu)
+                    if fa != fb:
+                        d2r = sum(
+                            (views[fa][k] - comps[kb + k]) ** 2 for k in range(3)
+                        )
+                        hit = hit | (mask & (d2r < cu * cu))
+                    viol = viol + hit.astype(jnp.float32)
 
         def step(t, carry):
             com, quat, p, ell, force, torque = carry
@@ -1664,6 +1759,7 @@ def _make_multistep_kernel(mspec: MultiStepSpec):
             (*com, *quat, *p, *ell, *force, *torque)
         ):
             out_ref[k] = arr
+        out_ref[19] = viol
 
     return kernel
 
@@ -1672,17 +1768,20 @@ def _make_multistep_kernel(mspec: MultiStepSpec):
 def _multistep_chunk_l(
     mspec: MultiStepSpec, params_vec, gt, noise, state_l, wt_l, pn_l, qf_l, bd_l
 ):
-    """(19, S, 128) -> (19, S, 128): n_inner fused BAOAB steps in one kernel.
+    """(19, S, 128) -> (20, S, 128): n_inner fused BAOAB steps in one kernel.
 
     State rows: com (3), quat (4), momentum (3), angmom (3), force (3),
-    torque (3). ``noise`` is the (n_inner, 6, S, 128) chunk of standard
-    normals from :func:`multistep_noise`. Differentiation falls back to the
-    XLA per-step reference (primal AND tangent, same noise — consistent).
+    torque (3); output row 19 is the in-kernel band-validity violation
+    field over the ENTRY positions (zero everywhere when valid, or when
+    the spec carries no site checks). ``noise`` is the (n_inner, 6, S, 128)
+    chunk of standard normals from :func:`multistep_noise`. Differentiation
+    falls back to the XLA per-step reference (primal AND tangent, same
+    noise — consistent).
     """
     s = mspec.kspec.s
     return pl.pallas_call(
         _make_multistep_kernel(mspec),
-        out_shape=jax.ShapeDtypeStruct((19, s, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((20, s, 128), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(8)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_KERNEL_VMEM_LIMIT),
@@ -1759,13 +1858,51 @@ def _xla_multistep_reference(
     force = Vec3(rows[13], rows[14], rows[15])
     torque = Vec3(rows[16], rows[17], rows[18])
 
+    # entry-position band validity (mirrors the kernel's in-kernel check)
+    viol_row = jnp.zeros((n,), jnp.float32)
+    if mspec.site_checks:
+        variant, offs = spec.geometry
+        ca1, ca2, _ = quat_frame_soa(quat)
+        if variant == "dna2":
+            bx, by, hb_off, st_off = offs
+            back = com + bx * ca1 + by * ca2
+        else:
+            bb_off, hb_off, st_off = offs
+            back = com + bb_off * ca1
+        sitemap = {
+            "back": back,
+            "base": com + hb_off * ca1,
+            "stack": com + st_off * ca1,
+        }
+        idxf = jnp.arange(n, dtype=jnp.float32)
+        for d in range(1, mspec.check_dm + 1):
+            active = [
+                (fa, fb, cu)
+                for fa, fb, cu, d_lo, d_hi in mspec.site_checks
+                if d_lo < d <= d_hi
+            ]
+            if not active:
+                continue
+            jd = idxf + float(d)
+            mask = (jd < n) & (p1 != jd) & (p2 != jd)
+            for fa, fb, cu in active:
+                sa, sb = sitemap[fa], sitemap[fb]
+                d2 = sum((jnp.roll(cb, -d) - ca) ** 2 for ca, cb in zip(sa, sb))
+                hit = mask & (d2 < cu * cu)
+                if fa != fb:
+                    d2r = sum(
+                        (jnp.roll(ca, -d) - cb) ** 2 for ca, cb in zip(sa, sb)
+                    )
+                    hit = hit | (mask & (d2r < cu * cu))
+                viol_row = viol_row + hit.astype(jnp.float32)
+
     def step(carry, noise_t):
         com, quat, p, ell, force, torque = carry
         p = p + half * force
         ell = ell + half * torque
         com = com + mspec.half_inv_m * p
         quat, ell = free_rotor_soa(quat, ell, mspec.inv_inertia, half)
-        ns = [_from_layout(noise_t[k], n) for k in range(6)]
+        ns = [_from_layout(noise_t[k].astype(jnp.float32), n) for k in range(6)]
         p = Vec3(
             mspec.c_t * p.x + mspec.s_t * ns[0],
             mspec.c_t * p.y + mspec.s_t * ns[1],
@@ -1786,7 +1923,7 @@ def _xla_multistep_reference(
     (com, quat, p, ell, force, torque), _ = jax.lax.scan(
         step, (com, quat, p, ell, force, torque), noise
     )
-    out_rows = (*com, *quat, *p, *ell, *force, *torque)
+    out_rows = (*com, *quat, *p, *ell, *force, *torque, viol_row)
     return jnp.stack([_to_layout(c, s) for c in out_rows])
 
 
@@ -1848,11 +1985,34 @@ def positions_from_layout(mctx: MultiStepContext, state_l):
     return Vec3(*comps[0:3]), Quat(*comps[3:7])
 
 
-def slot_centers_from_layout(mctx: MultiStepContext, state_l):
-    """(N,) slot-order center components (the band check re-applies perm
-    itself, so hand it original-order positions via positions_from_layout)."""
+def inv_perm_trajectory(mctx: MultiStepContext, stacked):
+    """Undo the slot permutation on a STACKED (n_states, N) leaf pytree.
+
+    Emission inside the chunk scan stays in slot order (one (S,128)
+    transpose per field); the inverse permutation — a relayout per
+    component — runs ONCE here over the whole trajectory instead of once
+    per chunk."""
+    ctx = mctx.sctx
+    if ctx.perm_t is None:
+        return stacked
+
+    def inv(c):
+        if ctx.perm_kind == "interleave2":
+            ev = c[:, 0::2]
+            od = c[:, 1::2]
+            return jnp.concatenate([ev, od[:, ::-1]], axis=1)
+        return c[:, jnp.asarray(ctx.inv_t)]
+
+    return jax.tree.map(inv, stacked)
+
+
+def slot_positions_from_layout(mctx: MultiStepContext, state_l):
+    """(com Vec3, quat Quat) with (N,) leaves in SLOT order (for the band
+    check's already_permuted fast path; emission wants
+    positions_from_layout's original order instead)."""
     n = mctx.mspec.kspec.spec.n
-    return Vec3(*(_from_layout(state_l[k], n) for k in range(3)))
+    comps = [_from_layout(state_l[k], n) for k in range(7)]
+    return Vec3(*comps[0:3]), Quat(*comps[3:7])
 
 
 import os as _os  # noqa: E402

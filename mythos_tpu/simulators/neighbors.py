@@ -168,7 +168,7 @@ class FixedCapacityNeighborList:
             overflow = overflow | jnp.any(hard & ~member[iu])
         return jnp.stack([pair_i, pair_j]), overflow
 
-    def build(self, centers: Arr, prev: Arr | None = None) -> tuple[Arr, Arr]:
+    def build(self, centers: Arr, prev: Arr | None = None, orientation=None) -> tuple[Arr, Arr]:
         """Alias used by the simulator's carry-only-arrays scan path."""
         return self._build(centers, prev=prev)
 
@@ -351,11 +351,13 @@ class BlockNeighborList:
             centers[:, 0], centers[:, 1], centers[:, 2], prev=prev
         )
 
-    def build(self, centers, prev=None) -> tuple[Arr, Arr]:
+    def build(self, centers, prev=None, orientation=None) -> tuple[Arr, Arr]:
         """Alias used by the simulator's scan path; accepts (N, 3) or Vec3.
 
         ``prev`` (the previous rebuild's table) arms the missed-interaction
         detector — the simulator threads it through the scan carry.
+        ``orientation`` is accepted for interface parity with the site-mode
+        StencilBand (block AABBs are COM-based).
         """
         if isinstance(centers, tuple):  # soa.Vec3 NamedTuple
             if self.perm is not None:
@@ -537,11 +539,20 @@ class StencilBand:
     step, so there is no table to build; ``build`` only re-VALIDATES the
     band: the overflow flag is raised when a pair within the bare cutoff
     has slot distance beyond the band -- the condition under which the last
-    interval's forces were wrong (a fold-back conformation). The check runs
-    on block AABBs (``check_block`` slots per block): the AABB gap lower-
-    bounds the pair distance and the block index distance bounds the slot
-    distance, so every true violation is caught; quantization slack is
-    absorbed by the builder's margin (stencil_band_for_topology).
+    interval's forces were wrong (a fold-back conformation).
+
+    Two check modes:
+
+    * **site mode** (``site_checks`` set): per-offset EXACT site-pair
+      distances via rolls for slot offsets up to ``check_dm`` (no
+      quantization, no false flags near the band edge), plus a site-union
+      block-AABB sweep for far offsets (fold-back detection). Requires the
+      orientation (sites derive from com + frame offsets).
+    * **legacy COM mode**: block AABBs with COM-inflated cutoffs; the AABB
+      gap lower-bounds pair distance and the block index distance UPPER-
+      bounds slot distance. Near the band edge this double conservatism
+      false-flags thermally equilibrated duplexes (observed at 10k nt /
+      20k steps) — prefer site mode.
     """
 
     displacement_fn: Callable  # interface parity; the check is free-space
@@ -561,9 +572,21 @@ class StencilBand:
     #: level so a fold-back that crosses only a narrow term's band still
     #: raises the overflow flag.
     term_levels: tuple | None = None
+    #: site mode (all-or-none): ordered ((name, (a1_coeff, a2_coeff)), ...)
+    #: site definitions; ((fa, fb, bare_cutoff, d_lo, d_hi), ...) exact
+    #: roll checks (require min cross-site distance >= cutoff for slot
+    #: offsets d in (d_lo, d_hi]); exact-check extent; far-AABB cutoff; and
+    #: the per-term (exc, hb, cross, coax) reaches for the kernel.
+    site_geometry: tuple | None = None
+    site_checks: tuple | None = None
+    check_dm: int = 0
+    far_cutoff: float = 0.0
+    site_w_terms: tuple | None = None
 
     @property
     def w_terms(self) -> tuple | None:
+        if self.site_w_terms is not None:
+            return self.site_w_terms
         return None if self.term_levels is None else tuple(w for w, _ in self.term_levels)
 
     @property
@@ -578,13 +601,111 @@ class StencilBand:
             return _interleave2(c)
         return c[jnp.asarray(self.perm)]
 
-    def _check(self, centers) -> Arr:
+    def _check_site(self, comps, orientation, already_permuted: bool = False) -> Arr:
+        """Exact per-offset site checks + far site-union AABB sweep."""
+        import jax
+
+        if isinstance(orientation, tuple):  # soa.Quat NamedTuple
+            qc = tuple(orientation)
+        else:
+            qc = tuple(orientation[:, k] for k in range(4))
+        if self.perm is not None and not already_permuted:
+            qc = tuple(self._apply_perm(c) for c in qc)
+        from mythos_tpu.soa import Quat, Vec3, quat_frame_soa
+
+        com = Vec3(*comps)
+        a1, a2, _ = quat_frame_soa(Quat(*qc))
+        sites = {
+            name: com + c1 * a1 + c2 * a2
+            for name, (c1, c2) in self.site_geometry
+        }
+        n = self.n
+        dm = self.check_dm
+        idx = jnp.arange(n)
+        fams = sorted({(fa, fb) for fa, fb, _, _, _ in self.site_checks})
+
+        # ONE packed roll per offset (site components ride together: C
+        # separate (n,) rolls pay per-op relayout shuffles, the packed
+        # (C, n) roll doesn't — same trick as ops.stencil._pack_rolled),
+        # then every family distance reads the single rolled copy.
+        names = sorted(sites)
+        pk = jnp.stack([c for nm in names for c in sites[nm]])  # (3*|sites|, n)
+        comp_of = {nm: 3 * k for k, nm in enumerate(names)}
+
+        def fam_mins_all():
+            tables = {f: [] for f in fams}
+            for d in range(1, dm + 1):
+                ok = idx + d < n
+                rolled = jnp.roll(pk, -d, axis=1)
+                for fa, fb in fams:
+                    ia, ib = comp_of[fa], comp_of[fb]
+                    d2 = sum(
+                        (rolled[ib + k] - pk[ia + k]) ** 2 for k in range(3)
+                    )
+                    m = jnp.min(jnp.where(ok, d2, jnp.inf))
+                    if fa != fb:
+                        d2r = sum(
+                            (rolled[ia + k] - pk[ib + k]) ** 2 for k in range(3)
+                        )
+                        m = jnp.minimum(m, jnp.min(jnp.where(ok, d2r, jnp.inf)))
+                    tables[(fa, fb)].append(m)
+            return {f: jnp.stack(v) for f, v in tables.items()}
+
+        fam_tables = fam_mins_all()
+        viol = jnp.asarray(False)
+        for fa, fb, cutoff, d_lo, d_hi in self.site_checks:
+            if d_hi <= d_lo:
+                continue
+            t = fam_tables[(fa, fb)][d_lo:d_hi]  # offsets d_lo+1 .. d_hi
+            viol = viol | jnp.any(t < cutoff * cutoff)
+
+        # far fold-back sweep: site-union block AABBs, bare max cutoff,
+        # only block pairs whose slot distances can exceed check_dm
+        b_sz = self.check_block
+        nb = -(-n // b_sz)
+        n_pad = nb * b_sz
+        pad = n_pad - n
+        row_valid = (jnp.arange(n_pad) < n).reshape(nb, b_sz)
+        big = jnp.asarray(jnp.finfo(comps[0].dtype).max, comps[0].dtype)
+        dist2 = 0.0
+        for k in range(3):
+            lo_c = hi_c = None
+            for s in sites.values():
+                c = s[k]
+                if pad:
+                    c = jnp.pad(c, (0, pad))
+                cb = c.reshape(nb, b_sz)
+                lo_k = jnp.min(jnp.where(row_valid, cb, big), axis=1)
+                hi_k = jnp.max(jnp.where(row_valid, cb, -big), axis=1)
+                lo_c = lo_k if lo_c is None else jnp.minimum(lo_c, lo_k)
+                hi_c = hi_k if hi_c is None else jnp.maximum(hi_c, hi_k)
+            gap = jnp.maximum(
+                jnp.maximum(lo_c[:, None] - hi_c[None, :], lo_c[None, :] - hi_c[:, None]),
+                0.0,
+            )
+            dist2 = dist2 + gap * gap
+        col = jnp.arange(nb, dtype=jnp.int32)
+        delta_far = -(-(dm + 1 - (b_sz - 1)) // b_sz)  # ceil
+        far = jnp.abs(col[:, None] - col[None, :]) >= delta_far
+        viol = viol | jnp.any(far & (dist2 < self.far_cutoff * self.far_cutoff))
+        return viol
+
+    def _check(self, centers, orientation=None, already_permuted: bool = False) -> Arr:
         if isinstance(centers, tuple):  # soa.Vec3 NamedTuple
             comps = tuple(centers)
         else:
             comps = tuple(centers[:, k] for k in range(3))
-        if self.perm is not None:
+        if self.perm is not None and not already_permuted:
             comps = tuple(self._apply_perm(c) for c in comps)
+        if self.site_checks is not None:
+            if orientation is None:
+                raise ValueError(
+                    "site-mode StencilBand validity needs the orientation "
+                    "(sites derive from the body frame)"
+                )
+            return self._check_site(
+                comps, orientation, already_permuted=already_permuted
+            )
         b_sz = self.check_block
         nb = -(-self.n // b_sz)
         n_pad = nb * b_sz
@@ -615,19 +736,43 @@ class StencilBand:
                 viol = viol | ((dist2 < r_t * r_t) & (reach > w_t))
         return jnp.any(viol)
 
-    def build(self, centers: Arr, prev: Arr | None = None) -> tuple[Arr, Arr]:
-        return self.idx, self._check(centers)
+    def far_check(self, centers, orientation, already_permuted: bool = False) -> Arr:
+        """Far fold-back sweep ONLY (site-union AABB beyond check_dm).
 
-    def allocate(self, centers: Arr) -> "StencilBand":
+        For callers that run the exact per-offset part elsewhere — the
+        fused multi-step kernel computes it in-kernel over sublane rolls
+        (ops.stencil MultiStepSpec.site_checks) where it is nearly free.
+        """
+        if self.site_checks is None:
+            raise ValueError("far_check requires a site-mode StencilBand")
+        sub = self.replace(site_checks=())
+        return sub._check(
+            centers, orientation=orientation, already_permuted=already_permuted
+        )
+
+    def build(
+        self,
+        centers: Arr,
+        prev: Arr | None = None,
+        orientation=None,
+        already_permuted: bool = False,
+    ) -> tuple[Arr, Arr]:
+        return self.idx, self._check(
+            centers, orientation=orientation, already_permuted=already_permuted
+        )
+
+    def allocate(self, centers: Arr, orientation=None) -> "StencilBand":
         # one jitted dispatch: eager op-by-op execution of the AABB check is
         # pathological on remote-tunnel backends
         return self.replace(
-            idx_=jnp.zeros((1,), jnp.int32), did_overflow=jax.jit(self._check)(centers)
+            idx_=jnp.zeros((1,), jnp.int32),
+            did_overflow=jax.jit(self._check)(centers, orientation=orientation),
         )
 
-    def update(self, centers: Arr) -> "StencilBand":
+    def update(self, centers: Arr, orientation=None) -> "StencilBand":
         return self.replace(
-            did_overflow=self.did_overflow | jax.jit(self._check)(centers)
+            did_overflow=self.did_overflow
+            | jax.jit(self._check)(centers, orientation=orientation)
         )
 
 
@@ -668,6 +813,218 @@ def _band_reach(c: np.ndarray, cutoff: float, group: int = 64) -> int:
         if ((dd * dd).sum(-1) < cutoff * cutoff).any():
             return d
     return 0
+
+
+def _band_reach2(ca: np.ndarray, cb: np.ndarray, cutoff: float, group: int = 64) -> int:
+    """Max slot distance |i - j| over cross-site pairs (a_i, b_j) or
+    (b_i, a_j) within ``cutoff`` (both directions; exact, AABB-bounded)."""
+    ca = np.asarray(ca, np.float32)
+    cb = np.asarray(cb, np.float32)
+    n = ca.shape[0]
+    if n < 2:
+        return 0
+    nb = -(-n // group)
+    n_pad = nb * group
+
+    def aabb(c):
+        cp = np.pad(c, ((0, n_pad - n), (0, 0)), constant_values=np.nan)
+        cbk = cp.reshape(nb, group, 3)
+        return np.nanmin(cbk, axis=1), np.nanmax(cbk, axis=1)
+
+    lo_a, hi_a = aabb(ca)
+    lo_b, hi_b = aabb(cb)
+    lo = np.minimum(lo_a, lo_b)
+    hi = np.maximum(hi_a, hi_b)
+    gap = np.maximum(
+        np.maximum(lo[:, None, :] - hi[None, :, :], lo[None, :, :] - hi[:, None, :]), 0.0
+    )
+    dist2 = (gap * gap).sum(-1)
+    bi = np.arange(nb)
+    hit_b = dist2 < cutoff * cutoff
+    if not hit_b.any():
+        return 0
+    bd = int(np.abs(bi[:, None] - bi[None, :])[hit_b].max())
+    hi_reach = min(n - 1, (bd + 1) * group - 1)
+    c2 = cutoff * cutoff
+    for d in range(hi_reach, 0, -1):
+        dd = cb[d:] - ca[:-d]
+        if ((dd * dd).sum(-1) < c2).any():
+            return d
+        dd = ca[d:] - cb[:-d]
+        if ((dd * dd).sum(-1) < c2).any():
+            return d
+    return 0
+
+
+def _np_frames(quats: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(a1, a2) rotation-matrix columns from (N, 4) quaternions (numpy;
+    matches soa.quat_frame_soa)."""
+    w, x, y, z = (quats[:, k] for k in range(4))
+    a1 = np.stack(
+        [w * w + x * x - y * y - z * z, 2 * (x * y + w * z), 2 * (x * z - w * y)], -1
+    )
+    a2 = np.stack(
+        [2 * (x * y - w * z), w * w - x * x + y * y - z * z, 2 * (y * z + w * x)], -1
+    )
+    return a1, a2
+
+
+def _delta_min_gaps(spos: dict, b_sz: int, n: int) -> np.ndarray:
+    """(nb,) per-block-index-distance min site-union AABB gap at init."""
+    nb = -(-n // b_sz)
+    n_pad = nb * b_sz
+    lo = hi = None
+    for s in spos.values():
+        sp = np.pad(
+            np.asarray(s, np.float32), ((0, n_pad - n), (0, 0)), constant_values=np.nan
+        ).reshape(nb, b_sz, 3)
+        lo_s = np.nanmin(sp, axis=1)
+        hi_s = np.nanmax(sp, axis=1)
+        lo = lo_s if lo is None else np.minimum(lo, lo_s)
+        hi = hi_s if hi is None else np.maximum(hi, hi_s)
+    gaps = np.full(nb, np.inf, np.float32)
+    for delta in range(1, nb):
+        g = np.maximum(lo[delta:] - hi[:-delta], 0.0)
+        g = np.maximum(g, np.maximum(lo[:-delta] - hi[delta:], 0.0))
+        gaps[delta] = float(np.sqrt((g * g).sum(-1).min()))
+    return gaps
+
+
+def stencil_band_for_site_cutoffs(
+    displacement_fn: Callable,
+    topology,
+    site_cutoffs: dict,
+    init_centers: Arr,
+    init_orientation: Arr,
+    dr_threshold: float = 0.5,
+    perm: Arr | None = None,
+    site_slack: float = 0.5,
+    site_margin: int = 3,
+    check_block: int = 4,
+) -> StencilBand:
+    """Size a site-mode StencilBand (exact per-offset validity checks).
+
+    Per-term reaches are measured on the actual interaction-SITE distances
+    (``site_cutoffs`` from e.g. energy.dna2.per_term_site_cutoffs()) with
+    ``site_slack`` of headroom over the bare cutoffs plus ``site_margin``
+    slots — much tighter than the COM-inflated reaches of the legacy
+    builder, and guarded exactly: every rebuild re-checks, per slot offset
+    beyond each term's reach, that no site pair is inside the bare cutoff
+    (rolls, no quantization), plus a far site-union AABB sweep for
+    fold-backs. ``init_orientation``: (N, 4) quaternions (sites derive from
+    the frame).
+    """
+    n = topology.n_nucleotides
+    bn = np.asarray(topology.bonded_neighbors)
+    if bn.size:
+        counts = np.bincount(bn.ravel(), minlength=n)
+        if counts.max() > 2:
+            raise ValueError(
+                "stencil bands support at most 2 bonded partners per particle "
+                f"(got {int(counts.max())}); branched topologies need the "
+                "pair-list path"
+            )
+    c = np.asarray(init_centers, np.float32)
+    q = np.asarray(init_orientation, np.float32)
+    if perm is not None:
+        c = c[np.asarray(perm)]
+        q = q[np.asarray(perm)]
+    a1, a2 = _np_frames(q)
+    sdefs = dict(site_cutoffs["sites"])
+    spos = {nm: c + c1 * a1 + c2 * a2 for nm, (c1, c2) in sdefs.items()}
+    terms_sc = dict(site_cutoffs["terms"])
+    order = (
+        "UnbondedExcludedVolume",
+        "HydrogenBonding",
+        "CrossStacking",
+        "CoaxialStacking",
+    )
+    missing = [nm for nm in order if nm not in terms_sc]
+    if missing:
+        raise ValueError(f"site_cutoffs missing short-range terms {missing}")
+
+    # family-specific headroom over the bare cutoff when measuring reaches
+    # on the IDEAL init geometry: thermally equilibrated duplexes approach
+    # closer than the ideal helix, and by different amounts per site family
+    # (measured on a 10k-nt duplex at 296 K over 20k steps: backbone-
+    # backbone minima dip ~0.86 su below init at the minor-groove contact
+    # offsets, back-base ~0.5, base/stack ~0.2). Reaches sized with these
+    # slacks keep the EXACT per-rebuild checks (bare cutoffs) from flagging
+    # equilibrium breathing as violations; the checks remain the guard for
+    # anything beyond it.
+    _fam_slack = {
+        ("back", "back"): max(site_slack, 0.9),
+        ("back", "base"): max(site_slack, 0.75),
+        ("base", "back"): max(site_slack, 0.75),
+    }
+
+    def reach_of(pairs) -> int:
+        r = 0
+        for fa, fb, cutoff in pairs:
+            slack = _fam_slack.get((fa, fb), site_slack)
+            r = max(
+                r, _band_reach2(spos[fa], spos[fb], float(cutoff) + slack)
+            )
+        return r + site_margin
+
+    w_t = {nm: max(1, reach_of(terms_sc[nm])) for nm in order}
+    w_short = max(w_t.values())
+    has_debye = "Debye" in terms_sc
+    w_wide = max(1, reach_of(terms_sc["Debye"])) if has_debye else w_short
+    w_wide = max(w_wide, w_short)
+    if w_wide > max(8, n // 2):
+        raise ValueError(
+            f"initial layout is not banded (site reach {w_wide} of {n} slots); "
+            "use block_neighbor_list_for_topology instead"
+        )
+
+    all_cuts = [float(cu) for prs in terms_sc.values() for _, _, cu in prs]
+    far_cutoff = max(all_cuts)
+    b_sz = max(check_block, -(-n // 4096))
+    gaps = _delta_min_gaps(spos, b_sz, n)
+    # generous margin: between init and equilibrium the AABB gap shrinks by
+    # the thermal approach (~0.9 su) PLUS block-span growth; the offsets
+    # this pushes into the exact-check range are nearly free in-kernel
+    far_slack = max(site_slack, 1.5)
+    ok = gaps > far_cutoff + far_slack
+    suffix_ok = np.flip(np.logical_and.accumulate(np.flip(ok)))
+    cand = np.nonzero(suffix_ok)[0]
+    cand = cand[cand >= 1]
+    if cand.size == 0:
+        raise ValueError(
+            "initial layout has fold-back contacts at every scale; "
+            "use block_neighbor_list_for_topology instead"
+        )
+    delta_far = int(cand[0])
+    dm = max(w_wide + 2, delta_far * b_sz)
+
+    site_checks = []
+    for nm in order:
+        for fa, fb, cutoff in terms_sc[nm]:
+            if w_t[nm] < dm:
+                site_checks.append((fa, fb, float(cutoff), w_t[nm], dm))
+    if has_debye:
+        for fa, fb, cutoff in terms_sc["Debye"]:
+            if w_wide < dm:
+                site_checks.append((fa, fb, float(cutoff), w_wide, dm))
+
+    band = StencilBand(
+        displacement_fn=displacement_fn,
+        n=n,
+        r_cutoff=far_cutoff,
+        dr_threshold=dr_threshold,
+        w_wide=w_wide,
+        w_short=w_short,
+        r_cutoff_inner=None,
+        check_block=b_sz,
+        perm=None if perm is None else np.asarray(perm),
+        site_geometry=tuple(sorted(sdefs.items())),
+        site_checks=tuple(site_checks),
+        check_dm=int(dm),
+        far_cutoff=float(far_cutoff),
+        site_w_terms=tuple(w_t[nm] for nm in order),
+    )
+    return band.allocate(jnp.asarray(init_centers), orientation=jnp.asarray(init_orientation))
 
 
 def stencil_band_for_topology(

@@ -287,6 +287,10 @@ def build_run_fn(
                         sctx,
                         simulator_params,
                         max(1, neighbor_update_every),
+                        # exact per-offset validity checks move INTO the
+                        # kernel; only the far fold-back sweep stays here
+                        site_checks=getattr(neighbors, "site_checks", None) or (),
+                        check_dm=getattr(neighbors, "check_dm", 0),
                     )
                 except ops_stencil._UnsupportedMultiStep:
                     ms_ctx = None
@@ -393,23 +397,55 @@ def build_run_fn(
             state_l0 = ops_stencil.state_to_layout(ms_ctx, state)
             key_ms = jax.random.fold_in(key, 0x5CEA)
 
+            in_kernel_checks = bool(ms_ctx.mspec.site_checks)
+            #: chunks between far fold-back sweeps: the dense AABB matrix is
+            #: the one remaining O(n_blocks^2) cost per chunk; fold-backs
+            #: develop over thousands of steps and the site_slack headroom
+            #: (0.5 su) covers ~4 chunks of drift (~0.12 su), so a sparse
+            #: cadence loses no violations that matter. Exact near-band
+            #: checks still run EVERY chunk (in-kernel, nearly free).
+            far_every = 4
+
             def ms_chunk(carry, _):
-                state_l, overflow, k = carry
+                state_l, overflow, k, cnt = carry
                 k, sk = jax.random.split(k)
                 noise = ops_stencil.multistep_noise(sk, ms_ctx.mspec)
-                com, _quat = ops_stencil.positions_from_layout(ms_ctx, state_l)
-                _, ovf = nbrs0.build(tuple(com))
-                state_l = ops_stencil.multistep_chunk(ms_ctx, noise, state_l)
-                return (state_l, overflow | ovf, k), None
+                # slot-order check: skips the inverse-perm -> perm round
+                # trip (14 (N,) relayouts per chunk)
+                com, quat = ops_stencil.slot_positions_from_layout(ms_ctx, state_l)
+                if in_kernel_checks:
+                    # exact per-offset part runs in-kernel (output row 19);
+                    # only the far fold-back AABB sweep runs here
+                    ovf = jax.lax.cond(
+                        cnt % far_every == 0,
+                        lambda: nbrs0.far_check(
+                            tuple(com), orientation=tuple(quat), already_permuted=True
+                        ),
+                        lambda: jnp.asarray(False),
+                    )
+                else:
+                    _, ovf = nbrs0.build(
+                        tuple(com), orientation=tuple(quat), already_permuted=True
+                    )
+                out_l = ops_stencil.multistep_chunk(ms_ctx, noise, state_l)
+                if in_kernel_checks:
+                    ovf = ovf | (jnp.max(out_l[19]) > 0.0)
+                return (out_l[:19], overflow | ovf, k, cnt + 1), None
 
             def apply_fn(carry, _):
                 carry, _ = jax.lax.scan(ms_chunk, carry, None, length=save_every // u)
-                com, quat = ops_stencil.positions_from_layout(ms_ctx, carry[0])
+                # emit in SLOT order (cheap transposes); the inverse
+                # permutation runs once over the stacked trajectory below
+                com, quat = ops_stencil.slot_positions_from_layout(ms_ctx, carry[0])
                 return carry, soa.BodySoA(center=com, orientation=quat)
 
             final, trajectory = jax.lax.scan(
-                apply_fn, (state_l0, overflow0, key_ms), None, length=n_steps // save_every
+                apply_fn,
+                (state_l0, overflow0, key_ms, jnp.asarray(0, jnp.int32)),
+                None,
+                length=n_steps // save_every,
             )
+            trajectory = ops_stencil.inv_perm_trajectory(ms_ctx, trajectory)
             overflow = final[1]
             n_states = n_steps // save_every
         else:
@@ -424,6 +460,9 @@ def build_run_fn(
             def centers_of(state):
                 return state.position.center
 
+            def orientation_of(state):
+                return state.position.orientation
+
             if save_every <= 1:
                 # outer loop = rebuild chunks, emitting every step inside
                 if n_steps % u:
@@ -431,7 +470,9 @@ def build_run_fn(
 
                 def apply_fn(carry, _):
                     state, overflow, prev = carry
-                    idx, ovf = nbrs0.build(centers_of(state), prev=prev)
+                    idx, ovf = nbrs0.build(
+                        centers_of(state), prev=prev, orientation=orientation_of(state)
+                    )
                     state, pos = inner_steps_emit(state, idx, u)
                     return (state, overflow | ovf, idx), pos
 
@@ -445,7 +486,9 @@ def build_run_fn(
 
                 def rebuild_chunk(carry, _):
                     state, overflow, prev = carry
-                    idx, ovf = nbrs0.build(centers_of(state), prev=prev)
+                    idx, ovf = nbrs0.build(
+                        centers_of(state), prev=prev, orientation=orientation_of(state)
+                    )
                     state = inner_steps(state, idx, u)
                     return (state, overflow | ovf, idx), None
 

@@ -30,7 +30,7 @@ def _f32_mode():
 def _ms_setup(n_bp=40, n_inner=5, kT=KT):
     topology, body = _tiny_duplex(n_bp)
     _, sim = _build_sim(
-        topology, kT, mode="stencil", init_centers=body.center, model="dna2", block_size=8
+        topology, kT, mode="stencil", init_centers=body.center, init_orientation=body.orientation, model="dna2", block_size=8
     )
     e = sim.energy_fn.with_params(sim.energy_fn.opt_params())
     nb = sim.neighbors
@@ -106,7 +106,7 @@ def test_kernel_matches_xla_reference_with_noise():
         kctx.wt_l, kctx.pn_l, kctx.qf_l, mctx.bd_l,
     )
     n = mctx.mspec.kspec.spec.n
-    for k in range(19):
+    for k in range(20):
         a = np.asarray(st._from_layout(out_k[k], n))
         b = np.asarray(st._from_layout(out_r[k], n))
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=5e-5, err_msg=f"state row {k}")
@@ -124,7 +124,7 @@ def test_simulator_multistep_vs_per_step_deterministic(monkeypatch):
     )
     topology, body = _tiny_duplex(40)
     _, sim = _build_sim(
-        topology, 0.0, mode="stencil", init_centers=body.center, model="dna2", block_size=8
+        topology, 0.0, mode="stencil", init_centers=body.center, init_orientation=body.orientation, model="dna2", block_size=8
     )
     u = sim.neighbor_update_every
     sim = sim.replace(save_every=2 * u)
