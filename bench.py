@@ -22,6 +22,7 @@ N_BP = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
 N_STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
 BLOCK = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 MODE = sys.argv[4] if len(sys.argv) > 4 else "stencil"
+MODEL = sys.argv[5] if len(sys.argv) > 5 else "dna2"
 
 TARGET_NT_STEPS_PER_MIN = 1e6 * 10_000  # 10k-nt at 1e6 steps/min
 
@@ -31,7 +32,8 @@ def _compile_tier(topology, body, kT: float, mode: str):
     from __graft_entry__ import _build_sim
 
     _, sim = _build_sim(
-        topology, kT, mode=mode, init_centers=body.center, model="dna2", block_size=BLOCK
+        topology, kT, mode=mode, init_centers=body.center,
+        init_orientation=body.orientation, model=MODEL, block_size=BLOCK
     )
     # thin trajectory emission so the benchmark measures stepping, not HBM
     # writes; keep it a multiple of neighbor_update_every
@@ -60,7 +62,7 @@ def main() -> None:
     from __graft_entry__ import _tiny_duplex
 
     kT = 296.15 * 0.1 / 300.0
-    topology, body = _tiny_duplex(N_BP)
+    topology, body = _tiny_duplex(N_BP, form="A" if MODEL == "rna2" else "B")
     # oxDNA2 on the SoA hot path: the flagship configuration the north-star
     # metric (BASELINE.json) is defined against. Default tier is the banded
     # stencil (ops/stencil.py, near-linear layouts); pass mode "block" for
@@ -97,7 +99,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"langevin_steps_per_min_oxdna2_{topology.n_nucleotides}nt",
+                "metric": f"langevin_steps_per_min_ox{MODEL}_{topology.n_nucleotides}nt",
                 "value": round(steps_per_min, 1),
                 "unit": "steps/min",
                 "vs_baseline": round(nt_steps_per_min / TARGET_NT_STEPS_PER_MIN, 4),

@@ -19,6 +19,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 # the gate must exercise the REAL compiler; refuse to run in interpret mode
 os.environ.pop("MYTHOS_TPU_PALLAS_INTERPRET", None)
 

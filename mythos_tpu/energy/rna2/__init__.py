@@ -81,3 +81,201 @@ __all__ = [
     "default_transform_fn",
     "default_transform_soa_fn",
 ]
+
+
+# TPU fast-tier assembly ----------------------------------------------------
+#
+# The reference exposes rna2 terms for manual composition
+# (mythos/energy/rna2/__init__.py:3-13); this package additionally ships the
+# same assembly surface as dna1/dna2 so the simulator fast tiers (stencil /
+# block kernels) treat all models uniformly. rna2 = dna1 fene/bexc/exc/hb/
+# coax + rna2 Stacking/CrossStacking + dna2 Debye, under the rna2 defaults
+# (reference parity: mythos/energy/rna2/interactions.py forms).
+
+from types import MappingProxyType
+
+from mythos_tpu.energy import DEFAULT_DISPLACEMENT
+from mythos_tpu.energy.base import BaseConfiguration, BaseEnergyFunction, ComposedEnergyFunction, EnergyFunction
+from mythos_tpu.energy.dna1 import (
+    BondedExcludedVolume,
+    BondedExcludedVolumeConfiguration,
+    CoaxialStacking,
+    CoaxialStackingConfiguration,
+    Fene,
+    FeneConfiguration,
+    HydrogenBonding,
+    HydrogenBondingConfiguration,
+    UnbondedExcludedVolume,
+    UnbondedExcludedVolumeConfiguration,
+)
+from mythos_tpu.energy.dna2 import Debye, DebyeConfiguration
+from mythos_tpu.io.topology import Topology
+
+#: flagship defaults when the caller gives no simulation config (the rna2
+#: package ships energy-only TOML, like the reference)
+_DEFAULT_KT = 296.15 * 0.1 / 300.0
+_DEFAULT_SALT = 1.0
+
+
+def default_energy_configs(
+    overrides: dict = MappingProxyType({}), opts: dict = MappingProxyType({})
+) -> list[BaseConfiguration]:
+    """Default per-term configurations, with optional overrides."""
+    _, default_config = default_configs()
+
+    def get_param(x: str) -> dict:
+        return dict(default_config[x]) | overrides.get(x, {})
+
+    def get_opts(x: str, defaults=BaseConfiguration.OPT_ALL):
+        return opts.get(x, defaults)
+
+    kt = overrides.get("kT", _DEFAULT_KT)
+    stacking_opts = tuple(set(default_config["stacking"].keys()))
+    debye_opts = tuple(set(default_config["debye"].keys()))
+    debye_overrides = {
+        "kt": kt,
+        "salt_conc": overrides.get("salt_conc", _DEFAULT_SALT),
+        "half_charged_ends": overrides.get("half_charged_ends", False),
+    }
+    return [
+        FeneConfiguration.from_dict(get_param("fene"), get_opts("fene")),
+        BondedExcludedVolumeConfiguration.from_dict(
+            get_param("bonded_excluded_volume"), get_opts("bonded_excluded_volume")
+        ),
+        StackingConfiguration.from_dict(
+            get_param("stacking") | {"kt": kt}, get_opts("stacking", stacking_opts)
+        ),
+        UnbondedExcludedVolumeConfiguration.from_dict(
+            get_param("unbonded_excluded_volume"), get_opts("unbonded_excluded_volume")
+        ),
+        HydrogenBondingConfiguration.from_dict(
+            get_param("hydrogen_bonding"), get_opts("hydrogen_bonding")
+        ),
+        CrossStackingConfiguration.from_dict(
+            get_param("cross_stacking"), get_opts("cross_stacking")
+        ),
+        CoaxialStackingConfiguration.from_dict(
+            get_param("coaxial_stacking"), get_opts("coaxial_stacking")
+        ),
+        DebyeConfiguration.from_dict(
+            get_param("debye") | debye_overrides, get_opts("debye", debye_opts)
+        ),
+    ]
+
+
+def default_energy_fns() -> list[type[BaseEnergyFunction]]:
+    """Term classes, in the order matching default_energy_configs."""
+    return [
+        Fene,
+        BondedExcludedVolume,
+        Stacking,
+        UnbondedExcludedVolume,
+        HydrogenBonding,
+        CrossStacking,
+        CoaxialStacking,
+        Debye,
+    ]
+
+
+def create_default_energy_fn(
+    topology: Topology,
+    displacement_fn: callable = DEFAULT_DISPLACEMENT,
+    dense_unbonded: bool = False,
+    block_unbonded: bool = False,
+    block_size: int = 16,
+    overrides: dict = MappingProxyType({}),
+    opts: dict = MappingProxyType({}),
+) -> EnergyFunction:
+    """The full default oxRNA2 composed energy function for a topology."""
+    kwargs = {}
+    if block_unbonded:
+        import jax.numpy as jnp
+
+        from mythos_tpu.energy.blocks import n_blocks_for
+
+        nb = n_blocks_for(topology.n_nucleotides, block_size)
+        kwargs["block_ids"] = jnp.zeros((nb, 0), dtype=jnp.int32)
+        kwargs["block_size"] = block_size
+    elif dense_unbonded:
+        import jax.numpy as jnp
+
+        from mythos_tpu.simulators.neighbors import dense_pair_mask
+
+        kwargs["dense_mask"] = jnp.asarray(dense_pair_mask(topology))
+    return ComposedEnergyFunction.from_lists(
+        energy_fns=default_energy_fns(),
+        energy_configs=default_energy_configs(overrides=overrides, opts=opts),
+        transform_fn=default_transform_fn(),
+        transform_soa_fn=default_transform_soa_fn(),
+        displacement_fn=displacement_fn,
+        topology=topology,
+        **kwargs,
+    )
+
+
+def max_site_offset() -> float:
+    """Largest |site - COM| offset in the default rna2 geometry."""
+    import numpy as np
+
+    _, default_config = default_configs()
+    g = default_config["geometry"]
+    return max(
+        float(np.hypot(float(g["pos_back_a1"]), float(g["pos_back_a3"]))),
+        abs(float(g["pos_base"])),
+        abs(float(g["pos_stack"])),
+    )
+
+
+def default_neighbor_cutoff() -> float:
+    """COM-distance cutoff covering every unbonded term of the default model."""
+    cutoffs = []
+    for cls, cfg in zip(default_energy_fns(), default_energy_configs(), strict=True):
+        probe = object.__new__(cls)
+        object.__setattr__(probe, "params", cfg.init_params())
+        c = probe.pair_cutoff() if hasattr(probe, "pair_cutoff") else None
+        if c is not None:
+            cutoffs.append(float(c))
+    return max(cutoffs) + 2.0 * max_site_offset()
+
+
+def short_range_neighbor_cutoff() -> float:
+    """COM-distance cutoff over every unbonded term EXCEPT Debye-Hueckel."""
+    cutoffs = []
+    for cls, cfg in zip(default_energy_fns(), default_energy_configs(), strict=True):
+        if cls.__name__ == "Debye":
+            continue
+        probe = object.__new__(cls)
+        object.__setattr__(probe, "params", cfg.init_params())
+        c = probe.pair_cutoff() if hasattr(probe, "pair_cutoff") else None
+        if c is not None:
+            cutoffs.append(float(c))
+    return max(cutoffs) + 2.0 * max_site_offset()
+
+
+def per_term_site_cutoffs() -> dict:
+    """SITE-level radial supports per unbonded term (see the dna2
+    counterpart; the rna2 backbone offset spans (a1, a3) so site coeffs
+    here are (a1, a2, a3) triples)."""
+    _, default_config = default_configs()
+    g = default_config["geometry"]
+    sites = {
+        "back": (float(g["pos_back_a1"]), 0.0, float(g["pos_back_a3"])),
+        "base": (float(g["pos_base"]), 0.0, 0.0),
+        "stack": (float(g["pos_stack"]), 0.0, 0.0),
+    }
+    params = {}
+    for cls, cfg in zip(default_energy_fns(), default_energy_configs(), strict=True):
+        params[cls.__name__] = cfg.init_params()
+    px = params["UnbondedExcludedVolume"]
+    terms = {
+        "UnbondedExcludedVolume": (
+            ("base", "base", float(px.dr_c_base)),
+            ("back", "base", max(float(px.dr_c_back_base), float(px.dr_c_base_back))),
+            ("back", "back", float(px.dr_c_backbone)),
+        ),
+        "HydrogenBonding": (("base", "base", float(params["HydrogenBonding"].dr_c_high_hb)),),
+        "CrossStacking": (("base", "base", float(params["CrossStacking"].dr_c_high_cross)),),
+        "CoaxialStacking": (("stack", "stack", float(params["CoaxialStacking"].dr_c_high_coax)),),
+        "Debye": (("back", "back", float(params["Debye"].r_cut)),),
+    }
+    return {"sites": sites, "terms": terms}

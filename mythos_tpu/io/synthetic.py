@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-def synthetic_duplex(n_bp: int = 8):
+def synthetic_duplex(n_bp: int = 8, form: str = "B"):
     """Synthetic B-DNA-like duplex topology + rigid body (no files needed)."""
     import mythos_tpu.io.topology as top
     import mythos_tpu.utils.constants as const
@@ -39,8 +39,15 @@ def synthetic_duplex(n_bp: int = 8):
         nt_type=np.ones(n, np.int32),
     )
 
-    # ideal-helix positions: rise 0.39, twist 35 deg, strand-2 antiparallel
-    rise, twist, radius = 0.39, np.deg2rad(34.3), 0.6
+    # ideal-helix positions, strand-2 antiparallel. form "B": B-DNA-like
+    # (oxDNA equilibrium); form "A": A-RNA-like, parameters measured from
+    # the oxRNA2 golden helix (reference data/test-data rna2 simple-helix:
+    # rise 0.411, twist 32.7 deg, radius 0.628) — starting RNA models from
+    # the B geometry relaxes violently enough to leave the stencil band.
+    if form == "A":
+        rise, twist, radius = 0.411, np.deg2rad(32.73), 0.628
+    else:
+        rise, twist, radius = 0.39, np.deg2rad(34.3), 0.6
     centers, quats = [], []
 
     def frame_to_quat(a1, a3):

@@ -397,9 +397,11 @@ def _derive_sites(
     need_stack: bool = True,
     need_back: bool = True,
     need_base: bool = True,
+    a3: Vec3 | None = None,
 ) -> tuple[Vec3 | None, Vec3 | None, Vec3 | None]:
     """(stack, back, base) sites from the frame; matches the Nucleotide
-    transforms (energy/dna1/nucleotide.py, energy/dna2/nucleotide.py).
+    transforms (energy/dna1/nucleotide.py, energy/dna2/nucleotide.py,
+    energy/rna2/nucleotide.py — the rna2 backbone offset spans (a1, a3)).
     ``need_*=False`` skips a site (returns None) — the stencil kernel prunes
     site derivation per active term subset."""
     variant, offs = geometry
@@ -408,6 +410,11 @@ def _derive_sites(
         if variant == "dna2":
             bx, by, _hb, _st = offs
             back = com + bx * a1 + by * a2
+        elif variant == "rna2":
+            bx, by, _hb, _st = offs
+            if a3 is None:
+                raise ValueError("rna2 site derivation needs a3")
+            back = com + bx * a1 + by * a3
         else:
             bb, _hb, _st = offs
             back = com + bb * a1
@@ -1241,6 +1248,17 @@ def _geometry_of(first) -> tuple:
     if not kw:
         raise ValueError(ERR_TRANSFORM.format(fn))
     try:
+        if "p3_x" in kw:
+            # rna2: backbone offset spans (a1, a3); stack/base along a1
+            return (
+                "rna2",
+                (
+                    float(kw["com_to_backbone_x"]),
+                    float(kw["com_to_backbone_y"]),  # a3 coefficient
+                    float(kw["com_to_hb"]),
+                    float(kw["com_to_stacking"]),
+                ),
+            )
         if "com_to_backbone_x" in kw:
             return (
                 "dna2",
@@ -1261,6 +1279,16 @@ def _geometry_of(first) -> tuple:
         )
     except (KeyError, TypeError) as exc:
         raise ValueError(ERR_TRANSFORM.format(fn)) from exc
+
+
+def back_axes(geometry) -> tuple[float, float, float]:
+    """(a1, a2, a3) coefficients of the backbone-site offset per variant."""
+    variant, offs = geometry
+    if variant == "dna2":
+        return float(offs[0]), float(offs[1]), 0.0
+    if variant == "rna2":
+        return float(offs[0]), 0.0, float(offs[1])
+    return float(offs[0]), 0.0, 0.0
 
 
 def _pick_q(cap: int, block_size: int) -> tuple[int, int]:

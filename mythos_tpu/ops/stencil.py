@@ -45,6 +45,7 @@ from mythos_tpu.ops.oxdna_tiles import (
     ERR_UNSUPPORTED_MODEL,
     ERR_X64,
     _SUPPORTED_MODULES,
+    back_axes,
     _UNBONDED_ORDER,
     _bare,
     _derive_sites,
@@ -55,6 +56,11 @@ from mythos_tpu.ops.oxdna_tiles import (
     pair_static_fields,
 )
 from mythos_tpu.soa import Quat, Vec3, quat_frame_soa, vcross, vdot
+
+#: the stencil physics additionally supports the rna2 term set (the rna2
+#: cross-stacking reads the same scalar bottleneck; the rna2 backbone site
+#: spans (a1, a3))
+_STENCIL_MODULES = _SUPPORTED_MODULES + ("mythos_tpu.energy.rna2.terms",)
 from mythos_tpu.utils.math import arccos_poly
 from mythos_tpu.utils.types import Arr
 
@@ -67,6 +73,7 @@ class StencilSpec(NamedTuple):
     w_wide: int  # one-sided total reach (Debye alone beyond w_short)
     has_debye: bool
     coax_variant: str  # "dna1" | "dna2"
+    cross_variant: str  # "dna1" | "rna2"
     geometry: tuple
     pseq: bool
     fused_terms: bool = True  # one reverse pass over all terms (VMEM-gated)
@@ -213,13 +220,18 @@ def prepare_stencil_context(
     unbonded = tuple(by_name[nm] for nm in _UNBONDED_ORDER if nm in by_name)
     terms = [fn for _, fn in unbonded]
     for fn in terms:
-        if type(fn).__module__ not in _SUPPORTED_MODULES:
+        if type(fn).__module__ not in _STENCIL_MODULES:
             raise ValueError(ERR_UNSUPPORTED_MODEL.format(type(fn).__module__))
     has_debye = any(type(fn).__name__ == "Debye" for fn in terms)
     coax_variant = "dna1"
+    cross_variant = "dna1"
     for fn in terms:
         if type(fn).__name__ == "CoaxialStacking":
             coax_variant = "dna2" if type(fn).__module__.endswith("dna2.terms") else "dna1"
+        if type(fn).__name__ == "CrossStacking":
+            cross_variant = (
+                "rna2" if type(fn).__module__.endswith("rna2.terms") else "dna1"
+            )
 
     first = terms[0]
     seq = jnp.asarray(first.seq)
@@ -255,6 +267,7 @@ def prepare_stencil_context(
         w_wide=w_wide,
         has_debye=has_debye,
         coax_variant=coax_variant,
+        cross_variant=cross_variant,
         geometry=_geometry_of(first),
         pseq=pseq_flag,
         # grouped reverse passes: every group's residuals live at once
@@ -388,6 +401,12 @@ def _pair_term_fns(params, weight, qf, spec: StencilSpec) -> list:
         return _bare(t1.HydrogenBonding, p_hb).hb_product(ub_geom(S)) * weight
 
     def cross(S):
+        if spec.cross_variant == "rna2":
+            # rna2 drops theta4 and symmetrizes theta7/8 differently
+            # (mythos/energy/rna2/interactions.py:141-175 forms)
+            import mythos_tpu.energy.rna2.terms as tr
+
+            return _bare(tr.CrossStacking, p_cross)._cross_value(ub_geom(S))
         return _bare(t1.CrossStacking, p_cross).cross_product_term(ub_geom(S))
 
     def coax(S):
@@ -476,11 +495,11 @@ def _pair_geom(fi, fj, geometry, active=None, has_debye: bool = True) -> _PairGe
     need_back = need_exc or need_db or need_coax
     stack_i, back_i, base_i = _derive_sites(
         com_i, a1_i, a2_i, geometry, need_stack=need_coax,
-        need_back=need_back, need_base=need_base,
+        need_back=need_back, need_base=need_base, a3=a3_i,
     )
     stack_j, back_j, base_j = _derive_sites(
         com_j, a1_j, a2_j, geometry, need_stack=need_coax,
-        need_back=need_back, need_base=need_base,
+        need_back=need_back, need_base=need_base, a3=a3_j,
     )
 
     z = com_i.x * 0.0 + com_j.x * 0.0  # broadcast-shaped zeros placeholder
@@ -634,13 +653,8 @@ def _offset_grads(fi, fj, params, gt, weight, qf, mask, spec: StencilSpec, activ
     elif need_exc or need_db:
         g_bb = pg.v_bb * (g_rbb * pg.inv_bb)
 
-    variant, offs = spec.geometry
-    if variant == "dna2":
-        bx, by, hb_off, st_off = offs
-        a1_back, a2_back = bx, by
-    else:
-        bb_off, hb_off, st_off = offs
-        a1_back, a2_back = bb_off, 0.0
+    a1_back, a2_back, a3_back = back_axes(spec.geometry)
+    hb_off, st_off = spec.geometry[1][-2], spec.geometry[1][-1]
 
     stu_bb = vcross(u_st, u_bb) if need_coax else None  # d p3/d a1_j = d p4/d a1_i
 
@@ -665,6 +679,7 @@ def _offset_grads(fi, fj, params, gt, weight, qf, mask, spec: StencilSpec, activ
         _s(a3_j, g_c4) if (need_hbx or need_coax) else None,
         _s(u_ee, g_c8) if need_hbx else None,
         _s(u_st, g_c5),
+        _s(gi_back, -a3_back) if a3_back != 0.0 else None,
     )
 
     # j side
@@ -685,17 +700,21 @@ def _offset_grads(fi, fj, params, gt, weight, qf, mask, spec: StencilSpec, activ
         _s(a3_i, g_c4) if (need_hbx or need_coax) else None,
         _s(u_ee, -g_c7) if need_hbx else None,
         _s(u_st, -g_c6),
+        _s(gj_back, a3_back) if a3_back != 0.0 else None,
     )
 
     return (di_com, di_a1, di_a2, di_a3), (dj_com, dj_a1, dj_a2, dj_a3)
 
 
 def _derive_back(f, geometry) -> Vec3:
-    com, a1, a2, _ = f
-    variant, offs = geometry
-    if variant == "dna2":
-        return com + offs[0] * a1 + offs[1] * a2
-    return com + offs[0] * a1
+    com, a1, a2, a3 = f
+    c1, c2, c3 = back_axes(geometry)
+    out = com + c1 * a1
+    if c2 != 0.0:
+        out = out + c2 * a2
+    if c3 != 0.0:
+        out = out + c3 * a3
+    return out
 
 
 def _tail_debye_grad(fields, p_debye, qf, mask, gt_db, spec: StencilSpec) -> Vec3:
@@ -824,15 +843,16 @@ def _xla_unbonded_field_grads(
             gt[-1],
             spec,
         )
-        variant, offs = spec.geometry
-        a1_back, a2_back = (offs[0], offs[1]) if variant == "dna2" else (offs[0], 0.0)
+        a1_back, a2_back, a3_back = back_axes(spec.geometry)
         gi_sum = Vec3(*(c.sum(0) for c in g))
         gj_sum = Vec3(*_pack_roll_back(tuple(g), spec.w_short + 1))
-        # back = com + bx a1 + by a2: dE/dback_i = -g, dE/dback_j = +g
+        # back = com + c1 a1 + c2 a2 + c3 a3: dE/dback_i = -g, dE/dback_j = +g
         acc[0] = acc[0] - gi_sum + gj_sum
         acc[1] = acc[1] + (gj_sum - gi_sum) * a1_back
-        if variant == "dna2":
+        if a2_back != 0.0:
             acc[2] = acc[2] + (gj_sum - gi_sum) * a2_back
+        if a3_back != 0.0:
+            acc[3] = acc[3] + (gj_sum - gi_sum) * a3_back
     return acc
 
 
@@ -1066,12 +1086,22 @@ def _band_grads_carry(kspec: KernelSpec, params, gt, fields, shifted, sub, wt_re
         import mythos_tpu.energy.dna2.terms as t2
 
         p_debye = params[-1]
-        variant, offs = spec.geometry
-        a1b, a2b = (offs[0], offs[1]) if variant == "dna2" else (offs[0], 0.0)
+        a1b, a2b, a3b = back_axes(spec.geometry)
         com = Vec3(*fields[0:3])
         a1 = Vec3(*fields[3:6])
         a2 = Vec3(*fields[6:9])
-        back = com + a1b * a1 + a2b * a2
+        a3v = Vec3(*fields[9:12])
+        back = com + a1b * a1
+        if a2b != 0.0:
+            back = back + a2b * a2
+        if a3b != 0.0:
+            back = back + a3b * a3v
+        # (field index offset, coefficient) pairs of the back-site pullback
+        back_coefs = [(0, 1.0), (3, a1b)]
+        if a2b != 0.0:
+            back_coefs.append((6, a2b))
+        if a3b != 0.0:
+            back_coefs.append((9, a3b))
         back_f = list(back)
         back_sh = [pltpu.roll(b, 127, axis=1) for b in back_f]
         gt_db = gt[-1]
@@ -1096,14 +1126,14 @@ def _band_grads_carry(kspec: KernelSpec, params, gt, fields, shifted, sub, wt_re
 
             sc = jax.grad(tot)(r) / r
             g = v * sc  # dE/dback_i = -g, dE/dback_j = +g
-            gi = [-g.x, -g.y, -g.z, -a1b * g.x, -a1b * g.y, -a1b * g.z,
-                  -a2b * g.x, -a2b * g.y, -a2b * g.z]
-            acc = tuple(
-                a + gi[k] if k < 9 else a for k, a in enumerate(acc)
-            )
-            gj = [g.x, g.y, g.z, a1b * g.x, a1b * g.y, a1b * g.z,
-                  a2b * g.x, a2b * g.y, a2b * g.z]
-            return scatter_j(acc, accm, gj, range(9), d)
+            acc = list(acc)
+            gj, ks = [], []
+            for k0, c in back_coefs:
+                for x, gc in enumerate(g):
+                    acc[k0 + x] = acc[k0 + x] - c * gc
+                    gj.append(c * gc)
+                    ks.append(k0 + x)
+            return scatter_j(tuple(acc), accm, gj, ks, d)
 
         acc, accm = jax.lax.fori_loop(
             spec.w_short + 1, spec.w_wide + 1, tail_body, (acc, accm)
@@ -1269,15 +1299,16 @@ def _bonded_energy(fi, fj, bparams, gt_b, bd1: float, geometry, wstack, dirf):
     p_f, p_x, p_s = bparams
     com_i, a1_i, a2_i, a3_i = fi
     com_j, a1_j, a2_j, a3_j = fj
-    variant, offs = geometry
-    if variant == "dna2":
-        bx, by, hb_off, st_off = offs
-        backA_i = com_i + bx * a1_i + by * a2_i
-        backA_j = com_j + bx * a1_j + by * a2_j
-    else:
-        bb, hb_off, st_off = offs
-        backA_i = com_i + bb * a1_i
-        backA_j = com_j + bb * a1_j
+    c1, c2, c3 = back_axes(geometry)
+    hb_off, st_off = geometry[1][-2], geometry[1][-1]
+    backA_i = com_i + c1 * a1_i
+    backA_j = com_j + c1 * a1_j
+    if c2 != 0.0:
+        backA_i = backA_i + c2 * a2_i
+        backA_j = backA_j + c2 * a2_j
+    if c3 != 0.0:
+        backA_i = backA_i + c3 * a3_i
+        backA_j = backA_j + c3 * a3_j
     mask = dirf != 0.0
     pos = dirf > 0.0
 
@@ -1434,6 +1465,12 @@ def prepare_multistep_context(
     kspec = kctx.kspec
     spec = kspec.spec
     s = kspec.s
+    if spec.geometry[0] == "rna2":
+        # rna2 bonded stacking (theta9/theta10 on the p3/p5 axes) has no
+        # in-kernel form yet; the per-step stencil kernel tier serves rna2
+        raise _UnsupportedMultiStep(
+            "rna2 bonded stacking is not in-kernel yet (per-step tier used)"
+        )
 
     # bonded terms by name (absent terms are simply skipped)
     unbonded_idx = {i for i, _ in ctx.unbonded}
@@ -1669,14 +1706,14 @@ def _make_multistep_kernel(mspec: MultiStepSpec):
         # outside the bare cutoffs (the far fold-back sweep runs host-side)
         viol = jnp.zeros((s, 128), jnp.float32)
         if mspec.site_checks:
-            variant, offs = spec.geometry
-            ca1, ca2, _ = quat_frame_soa(quat)
-            if variant == "dna2":
-                bx, by, hb_off, st_off = offs
-                back = com + bx * ca1 + by * ca2
-            else:
-                bb_off, hb_off, st_off = offs
-                back = com + bb_off * ca1
+            c1, c2, c3 = back_axes(spec.geometry)
+            hb_off, st_off = spec.geometry[1][-2], spec.geometry[1][-1]
+            ca1, ca2, ca3 = quat_frame_soa(quat)
+            back = com + c1 * ca1
+            if c2 != 0.0:
+                back = back + c2 * ca2
+            if c3 != 0.0:
+                back = back + c3 * ca3
             sitemap = {
                 "back": back,
                 "base": com + hb_off * ca1,
@@ -1861,14 +1898,14 @@ def _xla_multistep_reference(
     # entry-position band validity (mirrors the kernel's in-kernel check)
     viol_row = jnp.zeros((n,), jnp.float32)
     if mspec.site_checks:
-        variant, offs = spec.geometry
-        ca1, ca2, _ = quat_frame_soa(quat)
-        if variant == "dna2":
-            bx, by, hb_off, st_off = offs
-            back = com + bx * ca1 + by * ca2
-        else:
-            bb_off, hb_off, st_off = offs
-            back = com + bb_off * ca1
+        c1, c2, c3 = back_axes(spec.geometry)
+        hb_off, st_off = spec.geometry[1][-2], spec.geometry[1][-1]
+        ca1, ca2, ca3 = quat_frame_soa(quat)
+        back = com + c1 * ca1
+        if c2 != 0.0:
+            back = back + c2 * ca2
+        if c3 != 0.0:
+            back = back + c3 * ca3
         sitemap = {
             "back": back,
             "base": com + hb_off * ca1,

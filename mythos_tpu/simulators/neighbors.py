@@ -614,10 +614,10 @@ class StencilBand:
         from mythos_tpu.soa import Quat, Vec3, quat_frame_soa
 
         com = Vec3(*comps)
-        a1, a2, _ = quat_frame_soa(Quat(*qc))
+        a1, a2, a3 = quat_frame_soa(Quat(*qc))
         sites = {
-            name: com + c1 * a1 + c2 * a2
-            for name, (c1, c2) in self.site_geometry
+            name: com + cs[0] * a1 + cs[1] * a2 + cs[2] * a3
+            for name, cs in ((nm, _site_coeffs(c)) for nm, c in self.site_geometry)
         }
         n = self.n
         dm = self.check_dm
@@ -856,8 +856,8 @@ def _band_reach2(ca: np.ndarray, cb: np.ndarray, cutoff: float, group: int = 64)
     return 0
 
 
-def _np_frames(quats: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(a1, a2) rotation-matrix columns from (N, 4) quaternions (numpy;
+def _np_frames(quats: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(a1, a2, a3) rotation-matrix columns from (N, 4) quaternions (numpy;
     matches soa.quat_frame_soa)."""
     w, x, y, z = (quats[:, k] for k in range(4))
     a1 = np.stack(
@@ -866,7 +866,17 @@ def _np_frames(quats: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     a2 = np.stack(
         [2 * (x * y - w * z), w * w - x * x + y * y - z * z, 2 * (y * z + w * x)], -1
     )
-    return a1, a2
+    a3 = np.stack(
+        [2 * (x * z + w * y), 2 * (y * z - w * x), w * w - x * x - y * y + z * z], -1
+    )
+    return a1, a2, a3
+
+
+def _site_coeffs(c) -> tuple[float, float, float]:
+    """Normalize a site-offset spec to (a1, a2, a3) coefficients (dna
+    packages emit 2-tuples over (a1, a2); rna2 emits 3-tuples)."""
+    c = tuple(float(v) for v in c)
+    return c if len(c) == 3 else (c[0], c[1], 0.0)
 
 
 def _delta_min_gaps(spos: dict, b_sz: int, n: int) -> np.ndarray:
@@ -929,9 +939,12 @@ def stencil_band_for_site_cutoffs(
     if perm is not None:
         c = c[np.asarray(perm)]
         q = q[np.asarray(perm)]
-    a1, a2 = _np_frames(q)
+    a1, a2, a3 = _np_frames(q)
     sdefs = dict(site_cutoffs["sites"])
-    spos = {nm: c + c1 * a1 + c2 * a2 for nm, (c1, c2) in sdefs.items()}
+    spos = {
+        nm: c + cs[0] * a1 + cs[1] * a2 + cs[2] * a3
+        for nm, cs in ((nm, _site_coeffs(v)) for nm, v in sdefs.items())
+    }
     terms_sc = dict(site_cutoffs["terms"])
     order = (
         "UnbondedExcludedVolume",
