@@ -963,10 +963,12 @@ from mythos_tpu.ops.oxdna_tiles import _interpret, _unpack_params, pack_params  
 #: cross-check the kernel against the XLA stencil)
 USE_KERNEL = True
 
-#: VMEM ceiling: dyn/static/mask/out arrays at S = ceil(n/128) sublanes
-#: stay under ~6 MB up to this many slots; larger systems need a laned
-#: grid with halo columns (or the XLA stencil / block-tile paths)
-_KERNEL_MAX_N = 65536
+#: VMEM ceiling: resident dyn/static/mask/out arrays at S = ceil(n/128)
+#: sublanes plus the per-term reverse-pass stack stay inside the 100 MB
+#: scoped budget through ~128k slots (measured at 100k: per-term schedule
+#: ~55 MB stack + ~13 MB residents + ~12 MB bf16 noise); larger systems
+#: need a laned grid with halo columns (or the XLA stencil / block paths)
+_KERNEL_MAX_N = 131072
 
 
 class KernelSpec(NamedTuple):
