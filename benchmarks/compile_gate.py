@@ -73,7 +73,8 @@ def _sim_step_gate(n_bp: int, mode: str) -> bool:
 
 
 def _difftre_map_gate(n_bp: int = 1000, n_states: int = 8) -> bool:
-    """The DiffTRe hot path: value_and_grad of energy-over-states map."""
+    """The DiffTRe hot path: value_and_grad of the fused energy-over-states
+    map (per-state block-table rebuild through the Pallas kernels)."""
     from __graft_entry__ import _build_sim, _tiny_duplex
 
     kT = 296.15 * 0.1 / 300.0
@@ -81,17 +82,32 @@ def _difftre_map_gate(n_bp: int = 1000, n_states: int = 8) -> bool:
     energy_fn, _ = _build_sim(
         topology, kT, mode="block", init_centers=body.center, model="dna2"
     )
-    from mythos_tpu.simulators.neighbors import block_neighbor_list_for_topology
+    from mythos_tpu.simulators.neighbors import (
+        block_neighbor_list_for_topology,
+        strand_interleave_perm,
+    )
     from mythos_tpu import spaces
     import mythos_tpu.energy.dna2 as dna2
 
+    map_nbl = block_neighbor_list_for_topology(
+        spaces.free()[0],
+        topology,
+        dna2.default_neighbor_cutoff(),
+        dr_threshold=0.5,
+        block_size=8,
+        init_centers=body.center,
+        symmetric=True,
+        r_cutoff_inner=dna2.short_range_neighbor_cutoff(),
+        perm=strand_interleave_perm(topology),
+    )
+    map_fn = energy_fn.replace(map_neighbors=map_nbl)
     states = jax.tree.map(
         lambda x: jnp.broadcast_to(x[None], (n_states,) + x.shape), body
     )
     params = energy_fn.opt_params()
 
     def loss(p):
-        e = energy_fn.with_params(p).map(states)
+        e = map_fn.with_params(p).map(states)
         return e.sum()
 
     return _gate(

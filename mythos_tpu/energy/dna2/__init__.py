@@ -280,6 +280,12 @@ def per_term_site_cutoffs() -> dict:
     Returns ``{"sites": {name: (a1_coeff, a2_coeff)}, "terms": {term_name:
     ((site_a, site_b, bare_cutoff), ...)}}``; site positions are
     com + a1_coeff * a1 + a2_coeff * a2.
+
+    CAVEAT (shared with short_range_neighbor_cutoff): cutoffs derive from
+    the DEFAULT configurations. An optimization run whose bound params
+    ENLARGE a cutoff (e.g. a wider dr_c) outgrows the band without the
+    validity checks noticing — re-derive the band from the bound params
+    (or assert the bound cutoffs <= these at prepare time) in that case.
     """
     _, default_config = default_configs()
     g = default_config["geometry"]
