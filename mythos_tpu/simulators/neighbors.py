@@ -225,6 +225,13 @@ class BlockNeighborList:
     #: potentials vanish beyond their cutoffs); hits outside the window
     #: raise the overflow flag. Only meaningful with ``symmetric=True``.
     banded: bool = False
+    #: two-level (cell-list) rebuild: > 0 groups this many blocks per
+    #: superblock and replaces the dense O(n_blocks^2) AABB pass with a
+    #: super-level candidate window refined per row (_ids_hierarchical).
+    #: Requires banded symmetric mode; super_capacity is the consecutive
+    #: superblock window size (sized by the builder from init positions).
+    super_group: int = 0
+    super_capacity: int = 0
     block_ids_: Arr | None = None
     did_overflow: Arr | None = None
 
@@ -235,6 +242,121 @@ class BlockNeighborList:
     @property
     def n_blocks(self) -> int:
         return -(-self.n // self.block_size)
+
+    def _block_aabbs(self, x: Arr, y: Arr, z: Arr):
+        """(lo, hi): per-component (nb,) AABB bounds of each index block."""
+        nb, b_sz = self.n_blocks, self.block_size
+        n_pad = nb * b_sz
+        row_valid = (jnp.arange(n_pad) < self.n).reshape(nb, b_sz)
+        big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
+        lo, hi = [], []
+        for c in (x, y, z):
+            pad = n_pad - c.shape[0]
+            cb = (jnp.pad(c, (0, pad)) if pad else c).reshape(nb, b_sz)
+            lo.append(jnp.min(jnp.where(row_valid, cb, big), axis=1))
+            hi.append(jnp.max(jnp.where(row_valid, cb, -big), axis=1))
+        return lo, hi
+
+    def _ids_hierarchical(self, x: Arr, y: Arr, z: Arr, prev=None) -> tuple[Arr, Arr]:
+        """Two-level (cell-list) banded build: O(nsb^2 + nb * M) instead of
+        the dense O(nb^2) AABB pass.
+
+        Level 1 groups ``super_group`` blocks into superblocks and finds a
+        consecutive window of ``super_capacity`` candidate superblocks per
+        super-row from the dense (nsb, nsb) super-AABB gaps. Level 2
+        refines only those M = super_capacity * super_group candidate
+        columns per row block (gathered AABB gaps) into the usual banded
+        window. Exactness chain: the super AABB contains its member blocks,
+        so a block pair inside the cutoff implies its super pair is too —
+        any hard hit outside the candidates raises a super-level overflow,
+        and within candidates the window/missed semantics match the dense
+        banded path. Requires symmetric banded mode.
+        """
+        if not (self.banded and self.symmetric):
+            raise ValueError("hierarchical build requires symmetric banded tables")
+        nb, b_sz = self.n_blocks, self.block_size
+        g = self.super_group
+        nsb = -(-nb // g)
+        lo, hi = self._block_aabbs(x, y, z)
+        big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
+
+        def supered(v, reduce_min):
+            pad = nsb * g - nb
+            fill = big if reduce_min else -big
+            vp = jnp.pad(v, (0, pad), constant_values=fill) if pad else v
+            vs = vp.reshape(nsb, g)
+            return jnp.min(vs, axis=1) if reduce_min else jnp.max(vs, axis=1)
+
+        sdist2 = 0.0
+        for k in range(3):
+            slo = supered(lo[k], True)
+            shi = supered(hi[k], False)
+            gap = jnp.maximum(
+                jnp.maximum(slo[:, None] - shi[None, :], slo[None, :] - shi[:, None]),
+                0.0,
+            )
+            sdist2 = sdist2 + gap * gap
+
+        scol = jnp.arange(nsb, dtype=jnp.int32)
+        cut_wide = self.r_cutoff + self.dr_threshold
+        s_hit = sdist2 < cut_wide * cut_wide
+        s_cap = self.super_capacity
+        sstart = jnp.min(jnp.where(s_hit, scol[None, :], nsb), axis=1)
+        sstart = jnp.clip(sstart, 0, max(0, nsb - s_cap)).astype(jnp.int32)
+        # hard hit outside the super window -> candidates missed a pair
+        s_hard = sdist2 < self.r_cutoff * self.r_cutoff
+        s_out = (scol[None, :] < sstart[:, None]) | (
+            scol[None, :] >= sstart[:, None] + s_cap
+        )
+        overflow = jnp.any(s_hard & s_out)
+
+        # level 2: refine the M candidate columns per row block
+        m = s_cap * g
+        row = jnp.arange(nb, dtype=jnp.int32)
+        cand = sstart[row // g][:, None] * g + jnp.arange(m, dtype=jnp.int32)[None, :]
+        cand_c = jnp.minimum(cand, nb - 1)  # clamp gathers; masked below
+        cdist2 = 0.0
+        for k in range(3):
+            clo = lo[k][cand_c]
+            chi = hi[k][cand_c]
+            gap = jnp.maximum(
+                jnp.maximum(lo[k][:, None] - chi, clo - hi[k][:, None]), 0.0
+            )
+            cdist2 = cdist2 + gap * gap
+        valid = cand < nb
+        col_ids = jnp.where(valid, cand, nb)
+
+        def window(cut_bare: float, capacity: int):
+            cut = cut_bare + self.dr_threshold
+            hit = valid & (cdist2 < cut * cut)
+            start = jnp.min(jnp.where(hit, col_ids, nb), axis=1)
+            start = jnp.clip(start, 0, max(0, nb - capacity)).astype(jnp.int32)
+            ids = start[:, None] + jnp.arange(capacity, dtype=jnp.int32)[None, :]
+            hard = valid & (cdist2 < cut_bare * cut_bare)
+            outside = (col_ids < start[:, None]) | (col_ids >= start[:, None] + capacity)
+            ovf = jnp.any(hard & outside)
+            return ids, hard, ovf
+
+        def missed(prev_ids: Arr, hard: Arr) -> Arr:
+            # prev windows are consecutive: membership is interval arithmetic
+            p_start = prev_ids[:, 0][:, None]
+            p_end = p_start + prev_ids.shape[1]
+            inside_prev = (col_ids >= p_start) & (col_ids < p_end)
+            return jnp.any(hard & ~inside_prev)
+
+        ids, hard, ovf = window(self.r_cutoff, self.capacity)
+        overflow = overflow | ovf
+        if self.r_cutoff_inner is None:
+            if prev is not None:
+                overflow = overflow | missed(prev, hard)
+            return ids, overflow
+        ids_in, hard_in, ovf_in = window(self.r_cutoff_inner, self.capacity_inner)
+        overflow = overflow | ovf_in
+        if prev is not None:
+            prev_in, prev_wide = prev
+            overflow = overflow | missed(prev_in, hard_in)
+            overflow = overflow | missed(prev_wide, hard)
+        return (ids_in, ids), overflow
 
     def _ids_from_components(
         self, x: Arr, y: Arr, z: Arr, prev=None
@@ -247,6 +369,8 @@ class BlockNeighborList:
         cutoff now but was absent from the previous table — the exact
         condition under which forces were wrong during the last interval.
         """
+        if self.super_group > 0:
+            return self._ids_hierarchical(x, y, z, prev=prev)
         nb, b_sz = self.n_blocks, self.block_size
         n_pad = nb * b_sz
 
@@ -442,6 +566,7 @@ def block_neighbor_list_for_topology(
     r_cutoff_inner: float | None = None,
     perm: Arr | None = None,
     banded: bool | None = None,
+    super_group: int | None = None,
 ) -> BlockNeighborList:
     """Build a BlockNeighborList sized from initial positions.
 
@@ -528,6 +653,46 @@ def block_neighbor_list_for_topology(
                 "would double-count the window's b < a slots"
             )
         nbl = nbl.replace(banded=True)
+
+    # two-level (cell-list) rebuild: EXPLICIT OPT-IN ONLY. Measured on v5e
+    # (benchmarks/RESULTS.md): the per-row candidate gathers are 37-65x
+    # SLOWER than the dense AABB pass at 2.5k-6.25k blocks — dense (nb, nb)
+    # elementwise work is what the TPU is good at (439-621 us), scattered
+    # gathers are what it is bad at. The dense pass stays the default
+    # through ~12.5k blocks (100k nt, ~2.5 ms/rebuild amortized over the
+    # interval); beyond that a sort-based binning formulation is needed,
+    # not this refine. Kept (with dense-parity tests) as the correctness
+    # skeleton for that future build.
+    if super_group is None:
+        super_group = 0
+    if super_group and nbl.banded and init_centers is not None:
+        g = int(super_group)
+        nbs = nbl.n_blocks
+        nsb = -(-nbs // g)
+        c = np.asarray(init_centers)
+        if perm is not None:
+            c = c[np.asarray(perm)]
+        n_pad = nbs * block_size
+        cp = np.pad(c, ((0, n_pad - len(c)), (0, 0)), constant_values=np.nan)
+        cb = cp.reshape(nbs, block_size, 3)
+        lo = np.nanmin(cb, axis=1)
+        hi = np.nanmax(cb, axis=1)
+        sp = nsb * g - nbs
+        slo = np.pad(lo, ((0, sp), (0, 0)), constant_values=np.inf).reshape(nsb, g, 3).min(1)
+        shi = np.pad(hi, ((0, sp), (0, 0)), constant_values=-np.inf).reshape(nsb, g, 3).max(1)
+        gap = np.maximum(
+            np.maximum(slo[:, None] - shi[None, :], slo[None, :] - shi[:, None]), 0.0
+        )
+        sd2 = (gap * gap).sum(-1)
+        cutw = nbl.r_cutoff + nbl.dr_threshold
+        hitm = sd2 < cutw * cutw
+        sidx = np.arange(nsb)
+        first = np.where(hitm.any(1), np.where(hitm, sidx[None, :], nsb).min(1), 0)
+        last = np.where(hitm.any(1), np.where(hitm, sidx[None, :], -1).max(1), -1)
+        span = int(np.max(np.where(hitm.any(1), last - first + 1, 1)))
+        # +2 supers of margin; the window must also cover the block window
+        s_cap = min(nsb, max(span + 2, -(-(nbl.capacity + 2) // g) + 1))
+        nbl = nbl.replace(super_group=g, super_capacity=int(s_cap))
     return nbl.allocate(jnp.asarray(init_centers)) if init_centers is not None else nbl
 
 
