@@ -1287,7 +1287,7 @@ def _vsel(m, a: Vec3, b: Vec3) -> Vec3:
     return Vec3(jnp.where(m, a.x, b.x), jnp.where(m, a.y, b.y), jnp.where(m, a.z, b.z))
 
 
-def _bonded_energy(fi, fj, bparams, gt_b, bd1: float, geometry, wstack, dirf):
+def _bonded_energy(fi, fj, bparams, gt_b, bd1: float, geometry, wstack, dirf, rna2_geom=()):
     """Masked bonded-pair energy for (slot i, slot i+2) pairs.
 
     ``fi``/``fj`` are (com, a1, a2, a3) Vec3 quadruples (any shape);
@@ -1346,7 +1346,62 @@ def _bonded_energy(fi, fj, bparams, gt_b, bd1: float, geometry, wstack, dirf):
             ),
             0.0,
         ).sum()
-    if p_s is not None:
+    if p_s is not None and geometry[0] == "rna2":
+        # rna2 stacking: f1(r) on the 3'-side stack5 -> 5'-side stack3
+        # distance, theta5/6 on the base normals, theta9/10 on the unit
+        # p3/p5 backbone axes, cosphi1/2 on a2 — all against the rna2
+        # backbone displacement (energy/rna2/terms.py _v_stack_soa forms)
+        import mythos_tpu.energy.rna2.terms as tr
+        from mythos_tpu.energy import functions as bfn
+
+        (s3a1, s3a2, s5a1, s5a2, p3x, p3y, p3z, p5x, p5y, p5z) = rna2_geom
+        sgn = jnp.where(pos, -1.0, 1.0)
+        t_bk = backA_j - backA_i
+        r_bk = _r(t_bk)
+        u_bk = t_bk * (sgn / r_bk)  # = dr_back / r with i the 3'-side
+        stack5_i = com_i + s5a1 * a1_i + s5a2 * a2_i
+        stack5_j = com_j + s5a1 * a1_j + s5a2 * a2_j
+        stack3_i = com_i + s3a1 * a1_i + s3a2 * a2_i
+        stack3_j = com_j + s3a1 * a1_j + s3a2 * a2_j
+        s5_3 = _vsel(pos, stack5_i, stack5_j)  # stack5 of the 3' side
+        s3_5 = _vsel(pos, stack3_j, stack3_i)  # stack3 of the 5' side
+        t_st = s5_3 - s3_5  # = dr_stack (i -> j displacement convention)
+        r_st = _r(t_st)
+        u_st = t_st * (1.0 / r_st)
+        n3 = _vsel(pos, a3_i, a3_j)
+        n5 = _vsel(pos, a3_j, a3_i)
+        th5 = jnp.pi - arccos_poly(vdot(n5, u_st))
+        th6 = jnp.pi - arccos_poly(vdot(n3, u_st))
+        bbp3_i = p3x * a1_i + p3y * a2_i + p3z * a3_i
+        bbp3_j = p3x * a1_j + p3y * a2_j + p3z * a3_j
+        bbp5_i = p5x * a1_i + p5y * a2_i + p5z * a3_i
+        bbp5_j = p5x * a1_j + p5y * a2_j + p5z * a3_j
+        bbp3_5 = _vsel(pos, bbp3_j, bbp3_i)
+        bbp5_3 = _vsel(pos, bbp5_i, bbp5_j)
+        th9 = arccos_poly(-vdot(bbp3_5, u_bk))
+        th10 = arccos_poly(-vdot(bbp5_3, u_bk))
+        a2_3 = _vsel(pos, a2_i, a2_j)
+        a2_5 = _vsel(pos, a2_j, a2_i)
+        cph1 = -vdot(a2_3, u_bk)
+        cph2 = -vdot(a2_5, u_bk)
+        term = _bare(tr.Stacking, p_s)
+        v = (
+            bfn.f1(
+                r_st,
+                r_low=p_s.dr_low_stack, r_high=p_s.dr_high_stack,
+                r_c_low=p_s.dr_c_low_stack, r_c_high=p_s.dr_c_high_stack,
+                eps=1.0, a=p_s.a_stack, r0=p_s.dr0_stack, r_c=p_s.dr_c_stack,
+                b_low=p_s.b_low_stack, b_high=p_s.b_high_stack,
+            )
+            * term._f4(5, th5)
+            * term._f4(6, th6)
+            * term._f4(9, th9)
+            * term._f4(10, th10)
+            * bfn.f5(-cph1, p_s.neg_cos_phi1_star_stack, p_s.neg_cos_phi1_c_stack, p_s.a_stack_1, p_s.b_neg_cos_phi1_stack)
+            * bfn.f5(-cph2, p_s.neg_cos_phi2_star_stack, p_s.neg_cos_phi2_c_stack, p_s.a_stack_2, p_s.b_neg_cos_phi2_stack)
+        )
+        e = e + gt_b[2] * jnp.where(mask, wstack * v, 0.0).sum()
+    elif p_s is not None:
         stack_i = com_i + st_off * a1_i
         stack_j = com_j + st_off * a1_j
         t_st = stack_j - stack_i
@@ -1381,7 +1436,7 @@ def _bonded_energy(fi, fj, bparams, gt_b, bd1: float, geometry, wstack, dirf):
     return e
 
 
-def _bonded_grads_carry(kspec, bparams, gt_b, bd1, fields, shifted, sub, wstack, dirf, carry):
+def _bonded_grads_carry(kspec, bparams, gt_b, bd1, fields, shifted, sub, wstack, dirf, carry, rna2_geom=()):
     """Add the bonded offset-2 pair gradients into the band carry."""
     s = kspec.s
     spec = kspec.spec
@@ -1390,7 +1445,9 @@ def _bonded_grads_carry(kspec, bparams, gt_b, bd1, fields, shifted, sub, wstack,
     def e_of(fi_t, fj_t):
         fi = tuple(Vec3(*fi_t[3 * k : 3 * k + 3]) for k in range(4))
         fj = tuple(Vec3(*fj_t[3 * k : 3 * k + 3]) for k in range(4))
-        return _bonded_energy(fi, fj, bparams, gt_b, bd1, spec.geometry, wstack, dirf)
+        return _bonded_energy(
+            fi, fj, bparams, gt_b, bd1, spec.geometry, wstack, dirf, rna2_geom
+        )
 
     gi_t, gj_t = jax.grad(e_of, argnums=(0, 1))(tuple(fields), tuple(fj_flat))
     acc, accm = list(carry[0]), list(carry[1])
@@ -1427,6 +1484,9 @@ class MultiStepSpec(NamedTuple):
     #: sweep stays host-side (StencilBand.far_check)
     site_checks: tuple = ()
     check_dm: int = 0
+    #: rna2 bonded-stacking site offsets (s3a1, s3a2, s5a1, s5a2,
+    #: p3x, p3y, p3z, p5x, p5y, p5z); empty for dna variants
+    rna2_geom: tuple = ()
 
 
 class MultiStepContext(NamedTuple):
@@ -1467,12 +1527,23 @@ def prepare_multistep_context(
     kspec = kctx.kspec
     spec = kspec.spec
     s = kspec.s
+    rna2_geom = ()
     if spec.geometry[0] == "rna2":
-        # rna2 bonded stacking (theta9/theta10 on the p3/p5 axes) has no
-        # in-kernel form yet; the per-step stencil kernel tier serves rna2
-        raise _UnsupportedMultiStep(
-            "rna2 bonded stacking is not in-kernel yet (per-step tier used)"
-        )
+        first_fn = ctx.unbonded[0][1]
+        kw = getattr(first_fn.transform_soa_fn, "keywords", None) or {}
+        try:
+            rna2_geom = tuple(
+                float(kw[k])
+                for k in (
+                    "pos_stack_3_a1", "pos_stack_3_a2",
+                    "pos_stack_5_a1", "pos_stack_5_a2",
+                    "p3_x", "p3_y", "p3_z", "p5_x", "p5_y", "p5_z",
+                )
+            )
+        except KeyError as exc:
+            raise _UnsupportedMultiStep(
+                f"rna2 transform lacks stacking offsets ({exc})"
+            ) from exc
 
     # bonded terms by name (absent terms are simply skipped)
     unbonded_idx = {i for i, _ in ctx.unbonded}
@@ -1589,6 +1660,7 @@ def prepare_multistep_context(
         inv_inertia=inv_i,
         site_checks=checks,
         check_dm=int(check_dm),
+        rna2_geom=rna2_geom,
     )
     return MultiStepContext(
         mspec=mspec, sctx=ctx, params_vec=params_vec, gt=gt_arr, bd_l=bd_l
@@ -1648,7 +1720,8 @@ def _force_torque_fields(mspec, params_ub, bparams, gt, gt_b, com3, quat, wt_ref
     )
     if any(mspec.bonded_flags):
         carry = _bonded_grads_carry(
-            kspec, bparams, gt_b, mspec.bd1, fields, shifted, sub, wstack, dirf, carry
+            kspec, bparams, gt_b, mspec.bd1, fields, shifted, sub, wstack, dirf,
+            carry, rna2_geom=mspec.rna2_geom,
         )
     acc, accm = carry
     tot = [acc[k] + pltpu.roll(accm[k], 1, axis=1) for k in range(12)]
@@ -1880,7 +1953,8 @@ def _xla_multistep_reference(
                 fi = fields_t
                 fj = tuple(Vec3(*(jnp.roll(c, -2) for c in v)) for v in fields_t)
                 return _bonded_energy(
-                    fi, fj, bparams, gt_b, mspec.bd1, spec.geometry, wstack, dirf
+                    fi, fj, bparams, gt_b, mspec.bd1, spec.geometry, wstack, dirf,
+                    mspec.rna2_geom,
                 )
 
             g_b = jax.grad(e_b)(fields)
