@@ -83,6 +83,13 @@ class StencilSpec(NamedTuple):
     #: cutoff's reach (validated at every rebuild by StencilBand), so the
     #: kernel skips them there.
     w_terms: tuple | None = None
+    #: offsets evaluated per band-loop iteration (stacked on a leading
+    #: axis). At 1 every op in the pair physics covers only S/8 vregs and
+    #: the VPU stalls on the dependency chain (~1 us per Debye-only offset
+    #: vs ~0.1 us of flops, measured r4); batching D offsets gives every op
+    #: D x the lanes. VMEM of the reverse-pass residuals scales with D --
+    #: gated in prepare_stencil_context.
+    band_batch: int = 1
 
 
 def _segments(spec: StencilSpec):
@@ -147,15 +154,33 @@ _FUSED_VMEM_PER_S = 210 * 1024
 _KERNEL_VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def _fused_terms_fits(n: int, w_wide: int) -> bool:
+#: estimated per-term reverse-schedule stack cost per sublane row per
+#: band_batch lane (bytes): the r03 100k-nt measurement saw ~55 MB of
+#: per-term stack at S=784 -> ~72 KB/S; padded for batching temporaries
+_PER_TERM_VMEM_PER_S = 90 * 1024
+
+
+def _fused_terms_fits(n: int, w_wide: int, batch: int = 1) -> bool:
     """True when the fused two-group reverse schedule's scoped-VMEM stack
     fits the requested budget at this layout's sublane extent.
 
     The 0.6 factor leaves room for the multi-step kernel's VMEM residents
     (19 state rows, the statics, and the bf16 noise chunk) on top of the
-    reverse-pass stack."""
+    reverse-pass stack. The stack's live residuals are (batch, S, 128)
+    arrays under offset batching, so the cost scales with batch."""
     s = _layout_s(n, w_wide)
-    return _FUSED_VMEM_PER_S * s <= int(0.6 * _KERNEL_VMEM_LIMIT)
+    return batch * _FUSED_VMEM_PER_S * s <= int(0.6 * _KERNEL_VMEM_LIMIT)
+
+
+def _auto_band_batch(n: int, w_wide: int, fused: bool) -> int:
+    """Offsets-per-iteration batch for the band loops.
+
+    Measured on v5e at S=80 (r4): batching REGRESSES the full-physics
+    segments 1.6x (the x batch VMEM residuals thrash the reverse pass) and
+    is NEUTRAL for Debye-only offsets (their cost is the roll/view
+    machinery, which batching does not reduce). Default stays 1; the knob
+    is kept for experiments on other geometries."""
+    return 1
 
 
 def _roll(x: Arr, d: int) -> Arr:
@@ -205,6 +230,7 @@ def prepare_stencil_context(
     perm=None,
     kernel: bool | None = None,
     w_terms=None,
+    band_batch: int | None = None,
 ) -> StencilContext:
     """Build the loop-invariant StencilContext.
 
@@ -261,6 +287,9 @@ def prepare_stencil_context(
             # which would disable it everywhere with no diagnostic
             raise ValueError(f"w_terms entries must be >= 1; got {w_terms!r}")
         w_terms = tuple(min(int(w), w_short) for w in w_terms)
+    fused = _fused_terms_fits(n, w_wide)
+    if band_batch is None:
+        band_batch = _auto_band_batch(n, w_wide, fused)
     spec = StencilSpec(
         n=n,
         w_short=w_short,
@@ -274,8 +303,9 @@ def prepare_stencil_context(
         # (~150 (S, 128) f32 arrays); gated on the SUBLANE EXTENT the
         # layout will use (VMEM scales with S, not n) against the scoped
         # budget requested from Mosaic; per-term passes beyond
-        fused_terms=_fused_terms_fits(n, w_wide),
+        fused_terms=fused and _fused_terms_fits(n, w_wide, band_batch),
         w_terms=w_terms,
+        band_batch=max(1, int(band_batch)),
     )
 
     hw, oh, corr, partner, qf = pair_static_fields(
@@ -1080,8 +1110,64 @@ def _band_grads_carry(kspec: KernelSpec, params, gt, fields, shifted, sub, wt_re
 
         return short_body
 
+    def make_short_body_batched(active, lo, hi, bat):
+        """Process ``bat`` offsets per iteration, stacked on a leading axis:
+        every op in the pair physics then covers bat x S/8 vregs, amortizing
+        the VPU dependency-chain stalls that dominate at (S, 128)."""
+        need_hb = active is None or 1 in active
+
+        def short_body(i, carry):
+            acc, accm = carry
+            d0 = lo + i * bat
+            # offsets past the segment end (ragged last iteration) mask out;
+            # their views/rolls use the CLAMPED offset so rolls stay in
+            # [0, S) and the weight gather stays in bounds
+            raw = [d0 + k for k in range(bat)]
+            ds = [jnp.minimum(d, hi) for d in raw]
+            fj_flat = [
+                jnp.stack([_view(fields[k], shifted[k], d, sub, s) for d in ds])
+                for k in range(12)
+            ]
+            fi = tuple(
+                Vec3(*(f[None] for f in fields[3 * k : 3 * k + 3]))
+                for k in range(4)
+            )
+            fj = tuple(Vec3(*fj_flat[3 * k : 3 * k + 3]) for k in range(4))
+            # dynamic REF indexing (plain dynamic_slice of a value has no
+            # Mosaic lowering)
+            wt = jnp.stack([wt_ref[d - 1] for d in ds]) if need_hb else None
+            mask = jnp.stack(
+                [pair_mask(d) & (r <= hi) for d, r in zip(ds, raw, strict=True)]
+            )
+            qfp = (
+                qf[None] * jnp.stack([_view(qf, qf_sh, d, sub, s) for d in ds])
+                if spec.has_debye
+                else None
+            )
+            gi, gj = _offset_grads(
+                fi, fj, params, gt, wt, qfp, mask, spec, active=active
+            )
+            gi_flat = [c.sum(0) for vec in gi for c in vec]
+            gj_flat = [c for vec in gj for c in vec]
+            acc = tuple(a + g for a, g in zip(acc, gi_flat, strict=True))
+            for k, d in enumerate(ds):
+                acc, accm = scatter_j(
+                    acc, accm, [g[k] for g in gj_flat], range(12), d
+                )
+            return acc, accm
+
+        return short_body
+
+    bat = max(1, int(getattr(spec, "band_batch", 1)))
     for lo, hi, active in _segments(spec):
-        carry = jax.lax.fori_loop(lo, hi + 1, make_short_body(active), carry)
+        n_off = hi - lo + 1
+        if bat > 1 and n_off > 1:
+            b = min(bat, n_off)
+            carry = jax.lax.fori_loop(
+                0, -(-n_off // b), make_short_body_batched(active, lo, hi, b), carry
+            )
+        else:
+            carry = jax.lax.fori_loop(lo, hi + 1, make_short_body(active), carry)
     acc, accm = carry
 
     if spec.w_wide > spec.w_short:
@@ -1108,13 +1194,9 @@ def _band_grads_carry(kspec: KernelSpec, params, gt, fields, shifted, sub, wt_re
         back_sh = [pltpu.roll(b, 127, axis=1) for b in back_f]
         gt_db = gt[-1]
 
-        def tail_body(d, carry):
-            acc, accm = carry
-            bj = Vec3(*(_view(back_f[k], back_sh[k], d, sub, s) for k in range(3)))
-            v = bj - back
+        def tail_grad(back_j, mask, qfp):
+            v = back_j - back
             r = _r(v)
-            mask = pair_mask(d)
-            qfp = qf * _view(qf, qf_sh, d, sub, s)
 
             def tot(r_):
                 e = (
@@ -1127,7 +1209,12 @@ def _band_grads_carry(kspec: KernelSpec, params, gt, fields, shifted, sub, wt_re
                 return gt_db * jnp.where(mask, e, 0.0).sum()
 
             sc = jax.grad(tot)(r) / r
-            g = v * sc  # dE/dback_i = -g, dE/dback_j = +g
+            return v * sc  # dE/dback_i = -g, dE/dback_j = +g
+
+        def tail_body(d, carry):
+            acc, accm = carry
+            bj = Vec3(*(_view(back_f[k], back_sh[k], d, sub, s) for k in range(3)))
+            g = tail_grad(bj, pair_mask(d), qf * _view(qf, qf_sh, d, sub, s))
             acc = list(acc)
             gj, ks = [], []
             for k0, c in back_coefs:
@@ -1137,9 +1224,63 @@ def _band_grads_carry(kspec: KernelSpec, params, gt, fields, shifted, sub, wt_re
                     ks.append(k0 + x)
             return scatter_j(tuple(acc), accm, gj, ks, d)
 
-        acc, accm = jax.lax.fori_loop(
-            spec.w_short + 1, spec.w_wide + 1, tail_body, (acc, accm)
-        )
+        t_lo, t_hi = spec.w_short + 1, spec.w_wide
+        n_tail = t_hi - t_lo + 1
+        if bat > 1 and n_tail > 1:
+            tb = min(bat, n_tail)
+            back_bc = Vec3(back.x[None], back.y[None], back.z[None])
+
+            def tail_body_batched(i, carry):
+                acc, accm = carry
+                d0 = t_lo + i * tb
+                raw = [d0 + k for k in range(tb)]
+                ds = [jnp.minimum(d, t_hi) for d in raw]
+                bj = Vec3(
+                    *(
+                        jnp.stack([_view(back_f[k], back_sh[k], d, sub, s) for d in ds])
+                        for k in range(3)
+                    )
+                )
+                mask = jnp.stack(
+                    [pair_mask(d) & (r <= t_hi) for d, r in zip(ds, raw, strict=True)]
+                )
+                qfp = qf[None] * jnp.stack([_view(qf, qf_sh, d, sub, s) for d in ds])
+                v = bj - back_bc
+                r = _r(v)
+
+                def tot(r_):
+                    e = (
+                        t2.debye_potential(
+                            r_, p_debye.kappa, p_debye.prefactor,
+                            p_debye.smoothing_coeff, p_debye.r_cut, p_debye.r_high,
+                        )
+                        * qfp
+                    )
+                    return gt_db * jnp.where(mask, e, 0.0).sum()
+
+                sc = jax.grad(tot)(r) / r
+                g = v * sc
+                acc = list(acc)
+                for k0, c in back_coefs:
+                    for x, gc in enumerate(g):
+                        acc[k0 + x] = acc[k0 + x] - c * gc.sum(0)
+                for k, d in enumerate(ds):
+                    gj, ks = [], []
+                    for k0, c in back_coefs:
+                        for x, gc in enumerate(g):
+                            gj.append(c * gc[k])
+                            ks.append(k0 + x)
+                    acc, accm = scatter_j(tuple(acc), accm, gj, ks, d)
+                    acc = list(acc)
+                return tuple(acc), accm
+
+            acc, accm = jax.lax.fori_loop(
+                0, -(-n_tail // tb), tail_body_batched, (acc, accm)
+            )
+        else:
+            acc, accm = jax.lax.fori_loop(
+                t_lo, t_hi + 1, tail_body, (acc, accm)
+            )
     return acc, accm
 
 
