@@ -1074,7 +1074,7 @@ def stencil_band_for_site_cutoffs(
     dr_threshold: float = 0.5,
     perm: Arr | None = None,
     site_slack: float = 0.5,
-    site_margin: int = 2,
+    site_margin: int = 1,
     check_block: int = 4,
 ) -> StencilBand:
     """Size a site-mode StencilBand (exact per-offset validity checks).
