@@ -74,6 +74,9 @@ def check_valid_seq(seq: Sequence, n_nucleotides: int) -> None:
             raise ValueError(ERR_PSEQ_NOT_NORMALIZED)
     elif hasattr(seq, "shape"):
         arr = np.asarray(seq)
+        if arr.ndim != 1:
+            # shape before values: a 2-D array's tolist() rows are unhashable
+            raise ValueError(ERR_INVALID_DISCRETE_SEQUENCE_SHAPE)
         if len(set(arr.tolist()) - {0, 1, 2, 3}) > 0:
             raise ValueError(ERR_INVALID_SEQUENCE_NUCLEOTIDES)
         if arr.shape != (n_nucleotides,):

