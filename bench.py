@@ -23,6 +23,11 @@ N_STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
 BLOCK = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 MODE = sys.argv[4] if len(sys.argv) > 4 else "stencil"
 MODEL = sys.argv[5] if len(sys.argv) > 5 else "dna2"
+#: total helix-axis bend in degrees: a non-zero bend is the honest
+#: "general conformation" benchmark — it folds the helix into an arc,
+#: breaks the banded-stencil layout (true fold-back) and must run the
+#: block tier (pass MODE=block)
+BEND_DEG = float(sys.argv[6]) if len(sys.argv) > 6 else 0.0
 
 TARGET_NT_STEPS_PER_MIN = 1e6 * 10_000  # 10k-nt at 1e6 steps/min
 
@@ -59,10 +64,16 @@ def _compile_tier(topology, body, kT: float, mode: str):
 
 
 def main() -> None:
-    from __graft_entry__ import _tiny_duplex
+    import math
+
+    from mythos_tpu.io.synthetic import synthetic_duplex
 
     kT = 296.15 * 0.1 / 300.0
-    topology, body = _tiny_duplex(N_BP, form="A" if MODEL == "rna2" else "B")
+    topology, body = synthetic_duplex(
+        N_BP,
+        form="A" if MODEL == "rna2" else "B",
+        bend=math.radians(BEND_DEG) if BEND_DEG else None,
+    )
     # oxDNA2 on the SoA hot path: the flagship configuration the north-star
     # metric (BASELINE.json) is defined against. Default tier is the banded
     # stencil (ops/stencil.py, near-linear layouts); pass mode "block" for
@@ -99,7 +110,10 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"langevin_steps_per_min_ox{MODEL}_{topology.n_nucleotides}nt",
+                "metric": (
+                    f"langevin_steps_per_min_ox{MODEL}_{topology.n_nucleotides}nt"
+                    + (f"_bent{int(BEND_DEG)}deg" if BEND_DEG else "")
+                ),
                 "value": round(steps_per_min, 1),
                 "unit": "steps/min",
                 "vs_baseline": round(nt_steps_per_min / TARGET_NT_STEPS_PER_MIN, 4),

@@ -11,8 +11,15 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-def synthetic_duplex(n_bp: int = 8, form: str = "B"):
-    """Synthetic B-DNA-like duplex topology + rigid body (no files needed)."""
+def synthetic_duplex(n_bp: int = 8, form: str = "B", bend: float | None = None):
+    """Synthetic B-DNA-like duplex topology + rigid body (no files needed).
+
+    ``bend``: total bend angle (radians) of the helix axis along a circular
+    arc. The local structure stays ideal (the curvature radius is huge
+    relative to the helix), but index-distant segments approach in space —
+    the honest "general conformation" benchmark geometry: it breaks the
+    banded-stencil layout (a true fold-back) and must run the block tier.
+    """
     import mythos_tpu.io.topology as top
     import mythos_tpu.utils.constants as const
     from mythos_tpu.rigid_body import RigidBody
@@ -84,7 +91,38 @@ def synthetic_duplex(n_bp: int = 8, form: str = "B"):
             centers.append(np.array([-radius * a1[0], -radius * a1[1], i * rise]))
             quats.append(frame_to_quat(a1, a3))
 
+    centers = np.array(centers)
+    quats = np.array(quats)
+
+    if bend:
+        # wrap the straight helix axis (z) onto a circular arc in the x-z
+        # plane: z -> theta = z * bend / L, position rotates about y by
+        # theta, orientations pre-multiplied by the same world rotation
+        z = centers[:, 2]
+        length = float(z.max() - z.min()) or 1.0
+        theta = (z - z.min()) * (float(bend) / length)
+        r_c = length / float(bend)
+        ct, st = np.cos(theta), np.sin(theta)
+        x = centers[:, 0]
+        centers = np.stack(
+            [
+                (r_c + x) * ct - r_c,
+                centers[:, 1],
+                (r_c + x) * st,
+            ],
+            axis=1,
+        )
+        # the radial/tangent mapping above is R_y(-theta): x_hat -> (c,0,s),
+        # z_hat -> (-s,0,c). Pre-multiply each quat by
+        # q_rot = (cos(theta/2), 0, -sin(theta/2), 0)
+        c, s = np.cos(theta / 2), np.sin(theta / 2)
+        w, qx, qy, qz = quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3]
+        quats = np.stack(
+            [c * w + s * qy, c * qx - s * qz, c * qy - s * w, c * qz + s * qx],
+            axis=1,
+        )
+
     body = RigidBody(
-        center=jnp.asarray(np.array(centers)), orientation=jnp.asarray(np.array(quats))
+        center=jnp.asarray(centers), orientation=jnp.asarray(quats)
     )
     return topology, body

@@ -277,3 +277,36 @@ def test_nucleotide_state_to_rigid_body(tmp_path):
     a1, _, a3 = quat_frame_soa(Quat(q[:, 0], q[:, 1], q[:, 2], q[:, 3]))
     np.testing.assert_allclose(np.stack(a1, -1), tr.states[0].array[:, 3:6], atol=1e-5)
     np.testing.assert_allclose(np.stack(a3, -1), tr.states[0].array[:, 6:9], atol=1e-5)
+
+
+# -- synthetic generator ----------------------------------------------------------
+
+
+def test_synthetic_bend_preserves_local_structure():
+    """The bent-arc conformation (the general-conformation benchmark
+    geometry) keeps the local helix ideal: near-identical bonded energies,
+    unit quaternions, and a strongly reduced end-to-end distance."""
+    import jax
+    import jax.numpy as jnp
+
+    from mythos_tpu.io.synthetic import synthetic_duplex
+    import mythos_tpu.energy.dna1 as dna1
+
+    t0, b0 = synthetic_duplex(48)
+    t1, b1 = synthetic_duplex(48, bend=np.pi / 2)
+    # quats stay unit
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(b1.orientation), axis=-1), 1.0, atol=1e-6
+    )
+    e0 = dna1.create_default_energy_fn(t0, dense_unbonded=True)
+    e1 = dna1.create_default_energy_fn(t1, dense_unbonded=True)
+    en0 = float(jax.jit(lambda b: e0(b))(b0)) / t0.n_nucleotides
+    en1 = float(jax.jit(lambda b: e1(b))(b1)) / t1.n_nucleotides
+    # gentle curvature: small per-nucleotide energy penalty only (bench
+    # scale bends 5000 bp over 270 deg -> curvature radius ~400 su, far
+    # gentler than this 48-bp quarter turn)
+    assert abs(en1 - en0) < 0.03, (en0, en1)
+    # the arc shortens the end-to-end distance (chord/arc at 90 deg ~ 0.90)
+    d0 = float(jnp.linalg.norm(b0.center[47] - b0.center[0]))
+    d1 = float(jnp.linalg.norm(b1.center[47] - b1.center[0]))
+    assert d1 < 0.95 * d0
