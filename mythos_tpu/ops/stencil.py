@@ -162,12 +162,6 @@ _KERNEL_VMEM_LIMIT = 100 * 1024 * 1024
 #: S <= 682 (~87k nt).
 _PER_TERM_VMEM_PER_S = 150 * 1024
 
-#: extra VMEM residents of the fused multi-step kernel per sublane row:
-#: 19 state rows + 20-row output (f32) + the (n_inner, 6, S, 128) bf16
-#: noise chunk at n_inner=20 -> ~51 KB/S on top of the reverse stack
-_MULTISTEP_RESIDENT_PER_S = 52 * 1024
-
-
 def _kernel_vmem_fits(n: int, w_wide: int) -> bool:
     """True when the per-term reverse schedule (the minimum-stack option)
     fits the scoped budget at this layout's sublane extent — beyond it the
@@ -176,11 +170,13 @@ def _kernel_vmem_fits(n: int, w_wide: int) -> bool:
     return _PER_TERM_VMEM_PER_S * s <= _KERNEL_VMEM_LIMIT
 
 
-def _multistep_vmem_fits(n: int, w_wide: int, fused: bool) -> bool:
-    """VMEM gate for the fused multi-step kernel (reverse stack + state
-    residents + noise chunk)."""
+def _multistep_vmem_fits(n: int, w_wide: int, fused: bool, n_inner: int = 20) -> bool:
+    """VMEM gate for the fused multi-step kernel: reverse stack + state
+    residents (19 in + 20 out (S, 128) f32 rows ~ 20 KB/S) + the
+    (n_inner, 6, S, 128) bf16 noise chunk (1.5 KB/S per inner step)."""
     s = _layout_s(n, w_wide)
-    per_s = (_FUSED_VMEM_PER_S if fused else _PER_TERM_VMEM_PER_S) + _MULTISTEP_RESIDENT_PER_S
+    resident = 20 * 1024 + n_inner * 6 * 128 * 2
+    per_s = (_FUSED_VMEM_PER_S if fused else _PER_TERM_VMEM_PER_S) + resident
     return per_s * s <= _KERNEL_VMEM_LIMIT
 
 
@@ -1841,7 +1837,7 @@ def prepare_multistep_context(
     kspec = kctx.kspec
     spec = kspec.spec
     s = kspec.s
-    if not _multistep_vmem_fits(spec.n, spec.w_wide, spec.fused_terms):
+    if not _multistep_vmem_fits(spec.n, spec.w_wide, spec.fused_terms, int(n_inner)):
         # the state residents + noise chunk on top of the reverse stack
         # would bust the scoped budget at compile time (a crash, not a
         # catchable prepare error) — stay on the per-step kernel tier
