@@ -117,6 +117,50 @@ def _difftre_map_gate(n_bp: int = 1000, n_states: int = 8) -> bool:
     )
 
 
+def _kernel_parity_gate(n_bp: int = 1000) -> bool:
+    """Pallas stencil kernel (statically-unrolled band, the hardware
+    default) vs the pure-XLA stencil path: force/torque cotangents must
+    agree on the real chip. This covers the unrolled variant the CPU test
+    suite cannot afford to compile (XLA CPU takes ~7 min for a 6-offset
+    unrolled interpret-mode kernel; see tests/test_stencil.py note)."""
+    import numpy as np
+
+    import mythos_tpu.energy.dna2 as dna2
+    from __graft_entry__ import _tiny_duplex
+    from mythos_tpu import soa
+    from mythos_tpu.ops import stencil as st
+    from mythos_tpu.simulators.neighbors import strand_interleave_perm
+
+    t0 = time.perf_counter()
+    name = f"kernel-parity@{n_bp * 2}nt"
+    try:
+        topology, body = _tiny_duplex(n_bp)
+        perm = strand_interleave_perm(topology)
+        e = dna2.create_default_energy_fn(topology, block_unbonded=True, block_size=8)
+        e = e.with_params(e.opt_params())
+        ctx_k = st.prepare_stencil_context(e, 12, 18, perm=perm, kernel=True)
+        ctx_x = st.prepare_stencil_context(e, 12, 18, perm=perm, kernel=False)
+        assert ctx_k.kernel_ctx is not None and ctx_x.kernel_ctx is None
+        bsoa = soa.to_soa(body)
+        g_k = jax.jit(lambda b: st.stencil_grads_ctx(e, ctx_k, b))(bsoa)
+        g_x = jax.jit(lambda b: st.stencil_grads_ctx(e, ctx_x, b))(bsoa)
+        jax.block_until_ready((g_k, g_x))
+        scale = max(float(jnp.max(jnp.abs(x))) for x in jax.tree.leaves(g_x))
+        ok = True
+        for x, y in zip(jax.tree.leaves(g_k), jax.tree.leaves(g_x), strict=True):
+            if not np.allclose(
+                np.asarray(x), np.asarray(y), atol=5e-5 * scale, rtol=2e-3
+            ):
+                ok = False
+        dt = time.perf_counter() - t0
+        print(f"[compile-gate] {name}: {'OK' if ok else 'FAIL (mismatch)'} [{dt:.1f}s]")
+        return ok
+    except Exception as e:  # noqa: BLE001
+        dt = time.perf_counter() - t0
+        print(f"[compile-gate] {name}: FAIL ({type(e).__name__}: {str(e)[:300]}) [{dt:.1f}s]")
+        return False
+
+
 def _longrun_overflow_gate(n_bp: int = FLAGSHIP_N_BP, n_steps: int = 20_000) -> bool:
     """>=20k-step thermal run at the flagship size asserting the band never
     flags ``neighbor_overflow``.
@@ -175,6 +219,7 @@ def main() -> int:
         ok &= _sim_step_gate(n_nt // 2, "stencil")
     ok &= _sim_step_gate(FLAGSHIP_N_BP, "block")
     if not fast:
+        ok &= _kernel_parity_gate()
         ok &= _difftre_map_gate()
         ok &= _longrun_overflow_gate()
     print(f"[compile-gate] {'ALL GREEN' if ok else 'RED'}")

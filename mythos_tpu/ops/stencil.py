@@ -1016,6 +1016,39 @@ from mythos_tpu.ops.oxdna_tiles import _interpret, _unpack_params, pack_params  
 #: cross-check the kernel against the XLA stencil)
 USE_KERNEL = True
 
+#: unroll the band offset loops into static Python loops: every pltpu.roll
+#: in the j-side views and the scatter then has a STATIC shift (the
+#: fori_loop index made them all dynamic sublane rolls), and Mosaic can
+#: interleave independent offsets' dependency chains instead of
+#: serializing them behind the 24-array loop carry. Gated on the band
+#: width so pathological reaches don't explode the program.
+UNROLL_BAND = True
+_UNROLL_MAX_OFFSETS = 48
+
+#: sublane-extent boundary for the statically-unrolled band: the unrolled
+#: DAG lets Mosaic interleave offsets' intermediates, and the register
+#: allocator's spill slots grow with S — at S=128 the spill-inflated
+#: scoped demand measured 148 MB (> the 128 MB chip), while S=80 (10k nt,
+#: the flagship) fits and runs ~9% faster than the fori band. fori stays
+#: the path beyond the boundary. (optimization_barrier fences between
+#: offsets bound the liveness but cost 10x — measured 70k steps/min.)
+_UNROLL_MAX_S = 96
+
+
+def _unroll_band(spec) -> bool:
+    from mythos_tpu.ops.oxdna_tiles import _interpret
+
+    # interpret mode (CPU tests) pays the 16x-bigger traced graph at every
+    # compile with none of the Mosaic scheduling win — keep the fori_loop
+    # there; hardware parity of the unrolled variant is covered by
+    # benchmarks/compile_gate.py::_kernel_parity_gate
+    return (
+        UNROLL_BAND
+        and spec.w_wide <= _UNROLL_MAX_OFFSETS
+        and _layout_s(spec.n, spec.w_wide) <= _UNROLL_MAX_S
+        and not _interpret()
+    )
+
 # (the kernel-size gate is _kernel_vmem_fits above: the per-term reverse
 # stack measures ~150 KB per sublane row, putting the boundary at S <= 682
 # ~ 87k slots; beyond it the XLA stencil path takes over)
@@ -1097,15 +1130,21 @@ def _band_grads_carry(kspec: KernelSpec, params, gt, fields, shifted, sub, wt_re
     nxt_f = pn_ref[1]
 
     def pair_mask(d):
-        jd = gidx + d.astype(jnp.float32)
+        jd = gidx + jnp.asarray(d, jnp.float32)
         return (jd < spec.n) & (prev_f != jd) & (nxt_f != jd)
 
     def scatter_j(acc, accm, gflat, coefs, d):
-        """Accumulate per-pair j-side contributions onto particle i+d."""
+        """Accumulate per-pair j-side contributions onto particle i+d.
+
+        ``acc`` takes the FULL rolled contribution (one add); ``accm``
+        additionally collects the rows that wrapped past the sublane extent
+        and belong one lane to the RIGHT — the caller's final
+        ``acc - accm + lane_roll(accm, 1)`` moves them (one select per
+        field-offset instead of the two of a per-offset split)."""
         out_acc, out_accm = list(acc), list(accm)
         for k, g in zip(coefs, gflat, strict=True):
             r = pltpu.roll(g, d, axis=0)
-            out_acc[k] = out_acc[k] + jnp.where(sub >= d, r, 0.0)
+            out_acc[k] = out_acc[k] + r
             out_accm[k] = out_accm[k] + jnp.where(sub < d, r, 0.0)
         return tuple(out_acc), tuple(out_accm)
 
@@ -1186,6 +1225,15 @@ def _band_grads_carry(kspec: KernelSpec, params, gt, fields, shifted, sub, wt_re
             carry = jax.lax.fori_loop(
                 0, -(-n_off // b), make_short_body_batched(active, lo, hi, b), carry
             )
+        elif _unroll_band(spec):
+            # static Python loop: every pltpu.roll in the views and the
+            # j-side scatter gets a STATIC shift (the fori_loop index made
+            # them all dynamic rolls), and Mosaic sees the whole segment as
+            # one DAG — independent offsets' dependency chains interleave
+            # instead of serializing behind the loop carry
+            body = make_short_body(active)
+            for d in range(lo, hi + 1):
+                carry = body(d, carry)
         else:
             carry = jax.lax.fori_loop(lo, hi + 1, make_short_body(active), carry)
     acc, accm = carry
@@ -1297,6 +1345,11 @@ def _band_grads_carry(kspec: KernelSpec, params, gt, fields, shifted, sub, wt_re
             acc, accm = jax.lax.fori_loop(
                 0, -(-n_tail // tb), tail_body_batched, (acc, accm)
             )
+        elif _unroll_band(spec):
+            carry = (acc, accm)
+            for d in range(t_lo, t_hi + 1):
+                carry = tail_body(d, carry)
+            acc, accm = carry
         else:
             acc, accm = jax.lax.fori_loop(
                 t_lo, t_hi + 1, tail_body, (acc, accm)
@@ -1331,7 +1384,7 @@ def _make_stencil_kernel(kspec: KernelSpec):
             kspec, params, gt, fields, shifted, sub, wt_ref, pn_ref, qf, qf_sh, carry
         )
 
-        tot = [acc[k] + pltpu.roll(accm[k], 1, axis=1) for k in range(12)]
+        tot = [acc[k] - accm[k] + pltpu.roll(accm[k], 1, axis=1) for k in range(12)]
         for k in range(3):
             out_ref[k] = tot[k]
         (g_quat,) = frame_vjp(
@@ -1615,7 +1668,9 @@ def _bonded_grads_carry(kspec, bparams, gt_b, bd1, fields, shifted, sub, wstack,
     for k in range(12):
         acc[k] = acc[k] + gi_t[k]
         r = pltpu.roll(gj_t[k], 2, axis=0)
-        acc[k] = acc[k] + jnp.where(sub >= 2, r, 0.0)
+        # same contract as _band_grads_carry.scatter_j: acc takes the full
+        # roll, accm the wrapped rows (subtracted back out by the caller)
+        acc[k] = acc[k] + r
         accm[k] = accm[k] + jnp.where(sub < 2, r, 0.0)
     return tuple(acc), tuple(accm)
 
@@ -1951,7 +2006,7 @@ def _force_torque_fields(mspec, params_ub, bparams, gt, gt_b, com3, quat, wt_ref
             carry, rna2_geom=mspec.rna2_geom,
         )
     acc, accm = carry
-    tot = [acc[k] + pltpu.roll(accm[k], 1, axis=1) for k in range(12)]
+    tot = [acc[k] - accm[k] + pltpu.roll(accm[k], 1, axis=1) for k in range(12)]
     force = Vec3(-tot[0], -tot[1], -tot[2])
     (g_quat,) = frame_vjp((Vec3(*tot[3:6]), Vec3(*tot[6:9]), Vec3(*tot[9:12])))
     from mythos_tpu.soa import quat_cotangent_to_torque_soa

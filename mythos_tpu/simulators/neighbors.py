@@ -850,15 +850,17 @@ class StencilBand:
             )
             dist2 = dist2 + gap * gap
         col = jnp.arange(nb, dtype=jnp.int32)
-        # blocks at index distance D contain pairs at slot distance
-        # >= (D-1)*b_sz + 1; the sweep must START strictly beyond the
-        # exactly-checked range (slot distance > dm), i.e. D >= dm/b_sz + 1
-        # — the previous ceil((dm+2-b_sz)/b_sz) included block pairs whose
-        # slot distances (down to dm-3) the exact checks had already
-        # cleared, and the conservative AABB gap false-flagged them at
-        # equilibrium (A-form rna2, r4: far=True at ~880 steps with ZERO
-        # exact violations)
-        delta_far = -(-dm // b_sz) + 1
+        # blocks at index distance D contain pairs at slot distances in
+        # [(D-1)*b_sz + 1, (D+1)*b_sz - 1], and a pair at slot distance s
+        # can sit at index distance as low as floor(s/b_sz). Sizing sets
+        # check_dm = k*b_sz - 1 (stencil_band_for_site_cutoffs), so the
+        # sweep at D >= k = floor(check_dm/b_sz) + 1 covers every
+        # s > check_dm (floor(s/b_sz) >= k) — zero gap — while its block
+        # pairs contain only slot distances >= (k-1)*b_sz + 1 > every band
+        # reach, so the conservative AABB gap cannot false-flag
+        # band-covered equilibrium pairs (the r4 A-form regression; the
+        # sweep start is the same block distance r4 shipped).
+        delta_far = dm // b_sz + 1
         far = jnp.abs(col[:, None] - col[None, :]) >= delta_far
         viol = viol | jnp.any(far & (dist2 < self.far_cutoff * self.far_cutoff))
         return viol
@@ -1182,21 +1184,28 @@ def stencil_band_for_site_cutoffs(
             "use block_neighbor_list_for_topology instead"
         )
     delta_far = int(cand[0])
-    # rounded UP to a block multiple: the far sweep starts at slot distance
-    # ceil(dm/b_sz)*b_sz + 1 (see _check_site), so exact checks must cover
-    # exactly up to that boundary — no overlap (false far flags), no gap
+    # rounded UP to a block multiple, then extended by b_sz - 1: the far
+    # sweep covers block-index distances >= dm/b_sz + 1 (see _check_site),
+    # but a pair at slot distance s can sit in a block pair at index
+    # distance floor(s/b_sz) — so the sweep only GUARANTEES coverage for
+    # s >= (dm/b_sz + 1)*b_sz = dm + b_sz. The exact checks must therefore
+    # reach check_dm = dm + b_sz - 1 or slot distances dm+1..dm+b_sz-1 go
+    # unchecked when block-misaligned (a silent-wrong-forces hole). The
+    # sweep's START is unchanged (its block pairs contain only slot
+    # distances > dm, all beyond every band reach, so no false far flags).
     dm = max(w_wide + 2, delta_far * b_sz)
     dm = -(-dm // b_sz) * b_sz
+    check_dm = dm + b_sz - 1
 
     site_checks = []
     for nm in order:
         for fa, fb, cutoff in terms_sc[nm]:
-            if w_t[nm] < dm:
-                site_checks.append((fa, fb, float(cutoff), w_t[nm], dm))
+            if w_t[nm] < check_dm:
+                site_checks.append((fa, fb, float(cutoff), w_t[nm], check_dm))
     if has_debye:
         for fa, fb, cutoff in terms_sc["Debye"]:
-            if w_wide < dm:
-                site_checks.append((fa, fb, float(cutoff), w_wide, dm))
+            if w_wide < check_dm:
+                site_checks.append((fa, fb, float(cutoff), w_wide, check_dm))
 
     band = StencilBand(
         displacement_fn=displacement_fn,
@@ -1210,7 +1219,7 @@ def stencil_band_for_site_cutoffs(
         perm=None if perm is None else np.asarray(perm),
         site_geometry=tuple(sorted(sdefs.items())),
         site_checks=tuple(site_checks),
-        check_dm=int(dm),
+        check_dm=int(check_dm),
         far_cutoff=float(far_cutoff),
         site_w_terms=tuple(w_t[nm] for nm in order),
     )

@@ -126,6 +126,73 @@ def test_band_check_flags_foldback(sys_dna2):
     assert bool(band._check(jnp.asarray(folded)))
 
 
+# NOTE: the statically-unrolled band loop (ops.stencil._unroll_band, the
+# TPU-hardware default) is deliberately NOT parity-tested here: XLA CPU
+# takes ~7 min to compile even a 6-offset unrolled interpret-mode kernel
+# (measured r5) vs 19 s for the fori variant. Hardware parity is covered
+# by benchmarks/compile_gate.py (kernel-vs-XLA-stencil force check on the
+# real chip), which must be green before any snapshot.
+
+
+def _line_site_band(n=64, spacing=8.0, **kw):
+    """Site-mode band over a straight line of widely spaced particles:
+    every reach collapses to 1 slot, so check_dm and the block sweep
+    geometry are fully controlled by the sizing math alone."""
+    import types as _types
+
+    from mythos_tpu.simulators.neighbors import stencil_band_for_site_cutoffs
+
+    bonds = np.stack([np.arange(n - 1), np.arange(1, n)], 1)
+    topo = _types.SimpleNamespace(n_nucleotides=n, bonded_neighbors=bonds)
+    centers = np.zeros((n, 3), np.float32)
+    centers[:, 0] = spacing * np.arange(n)
+    quats = np.zeros((n, 4), np.float32)
+    quats[:, 0] = 1.0
+    band = stencil_band_for_site_cutoffs(
+        spaces.free()[0],
+        topo,
+        dna2.per_term_site_cutoffs(),
+        init_centers=jnp.asarray(centers),
+        init_orientation=jnp.asarray(quats),
+        **kw,
+    )
+    return band, centers, quats
+
+
+def test_band_check_covers_block_misaligned_gap_offsets():
+    """Regression (r4 ADVICE high): slot distances dm+1..dm+b_sz-1 must be
+    caught by the EXACT checks — a pair at slot distance s can sit in a
+    block pair at index distance floor(s/b_sz), below the far sweep's
+    start, so the sweep cannot be relied on for them."""
+    band, centers, quats = _line_site_band()
+    b_sz = band.check_block
+    # sizing invariant the runtime sweep start relies on: check_dm+1 is a
+    # block multiple, so the sweep (D >= check_dm//b_sz + 1) has zero gap
+    assert (band.check_dm + 1) % b_sz == 0
+    dm_old = band.check_dm - (b_sz - 1)
+    q = jnp.asarray(quats)
+    assert not bool(band._check(jnp.asarray(centers), orientation=q))
+    for s in (dm_old + 1, band.check_dm):  # both ends of the gap range
+        # with i=0 the contact's block distance is below the sweep start:
+        # only the (extended) exact checks can see it
+        assert s // b_sz < band.check_dm // b_sz + 1
+        moved = centers.copy()
+        moved[s] = centers[0] + np.asarray([0.0, 0.2, 0.0], np.float32)
+        assert bool(
+            band._check(jnp.asarray(moved), orientation=q)
+        ), f"within-cutoff contact at slot distance {s} not flagged"
+
+
+def test_band_far_sweep_still_flags_beyond_check_dm():
+    band, centers, quats = _line_site_band()
+    s = band.check_dm + 1 + band.check_block  # safely in the swept range
+    moved = centers.copy()
+    moved[s] = centers[0] + np.asarray([0.0, 0.2, 0.0], np.float32)
+    assert bool(
+        band._check(jnp.asarray(moved), orientation=jnp.asarray(quats))
+    )
+
+
 def test_simulator_stencil_run(sys_dna2):
     topology, body, _, _, _ = sys_dna2
     kT = 296.15 * 0.1 / 300.0
