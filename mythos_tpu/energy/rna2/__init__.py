@@ -279,3 +279,32 @@ def per_term_site_cutoffs() -> dict:
         "Debye": (("back", "back", float(params["Debye"].r_cut)),),
     }
     return {"sites": sites, "terms": terms}
+
+
+def aform_site_slacks() -> dict:
+    """Per-family site-distance slacks for A-form rna2 band sizing.
+
+    Calibrated r5 (benchmarks/calibrate_aform.py): 3 seeds x 20,000
+    Langevin steps of a 10k-nt A-form duplex at 296 K on a margin-12
+    band that stayed violation-free, tracking the running minimum site
+    distance per (family, slot offset). The required slack per family is
+    max over offsets of (ideal_init_distance - bare_cutoff) over every
+    offset whose thermal minimum dipped below the cutoff, + 0.25 safety.
+    A-form equilibrium under rna2 physics is far more compact than the
+    ideal-helix init (bulk back-base contacts at 0.516 su at offset 9 vs
+    ideal 1.70): these slacks are 2-4x the B-DNA defaults, and end-pair
+    exclusion barely shrinks them (bulk physics, not end fraying).
+    """
+    return {
+        ("back", "back"): 3.25,
+        ("back", "base"): 2.55,
+        ("base", "base"): 2.40,
+        ("stack", "stack"): 2.20,
+    }
+
+
+def aform_far_slack() -> float:
+    """AABB-gap slack for the far fold-back sweep on A-form systems: the
+    equilibrium approach shrinks init gaps by up to ~3 su (same
+    calibration as :func:`aform_site_slacks`), vs ~0.9 for B-DNA."""
+    return 3.5

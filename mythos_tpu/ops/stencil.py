@@ -649,8 +649,9 @@ def _offset_grads(fi, fj, params, gt, weight, qf, mask, spec: StencilSpec, activ
         # 1..3) fuse so their shared arccos_poly chains (the same cosines
         # feed all three) are CSE'd across terms in forward and backward;
         # the radial terms (exc vol + debye) go in a second cheap pass.
-        # All-five-fused busts the 16 MB VMEM scoped limit at S=80 by ~1 MB
-        # (measured); this split keeps the CSE win under the cap.
+        # (A single all-five pass measured NEUTRAL — 789.8k vs 792.8k,
+        # r5 — so the split stays: its VMEM-per-S calibration constants
+        # are the ones the kernel-size gates were measured against.)
         groups = [
             [t for t in (1, 2, 3) if t in idxs],
             [t for t in (0, 4) if t in idxs and t < len(fns)],
@@ -1025,14 +1026,17 @@ USE_KERNEL = True
 UNROLL_BAND = True
 _UNROLL_MAX_OFFSETS = 48
 
-#: sublane-extent boundary for the statically-unrolled band: the unrolled
-#: DAG lets Mosaic interleave offsets' intermediates, and the register
-#: allocator's spill slots grow with S — at S=128 the spill-inflated
-#: scoped demand measured 148 MB (> the 128 MB chip), while S=80 (10k nt,
-#: the flagship) fits and runs ~9% faster than the fori band. fori stays
-#: the path beyond the boundary. (optimization_barrier fences between
-#: offsets bound the liveness but cost 10x — measured 70k steps/min.)
-_UNROLL_MAX_S = 96
+#: liveness boundary for the statically-unrolled band: the unrolled DAG
+#: lets Mosaic interleave offsets' intermediates, and the register
+#: allocator's spill slots grow with BOTH the sublane extent S and the
+#: offset count — measured: S=80 x 16 offsets (dna2 10k nt) fits the
+#: 100 MB scoped request (~93 MB by linear scaling) and runs ~9% faster
+#: than the fori band; S=128 x 16 (dna2 16k) demands 148 MB; S=80 x 23
+#: (rna2 at site_margin 7) also OOMs. Spill demand scales ~ S x w_wide
+#: (~74 KB per unit): 1350 keeps the request under 100 MB. fori stays the
+#: path beyond the boundary. (optimization_barrier fences between offsets
+#: bound the liveness instead but cost 10x — measured 70k steps/min.)
+_UNROLL_MAX_SW = 1350
 
 
 def _unroll_band(spec) -> bool:
@@ -1045,7 +1049,7 @@ def _unroll_band(spec) -> bool:
     return (
         UNROLL_BAND
         and spec.w_wide <= _UNROLL_MAX_OFFSETS
-        and _layout_s(spec.n, spec.w_wide) <= _UNROLL_MAX_S
+        and _layout_s(spec.n, spec.w_wide) * spec.w_wide <= _UNROLL_MAX_SW
         and not _interpret()
     )
 
@@ -1133,6 +1137,16 @@ def _band_grads_carry(kspec: KernelSpec, params, gt, fields, shifted, sub, wt_re
         jd = gidx + jnp.asarray(d, jnp.float32)
         return (jd < spec.n) & (prev_f != jd) & (nxt_f != jd)
 
+    # NOTE (r5 negative result): replacing the two-rolls+select _view with
+    # a halo-extended (S+w, 128) concat + static row slice per offset
+    # measured 657k vs 793k steps/min at 10k nt — Mosaic lowers the
+    # sublane-unaligned slices/concat as full relayouts. The rolls stay.
+    def view_f(k, d):
+        return _view(fields[k], shifted[k], d, sub, s)
+
+    def view_qf(d):
+        return _view(qf, qf_sh, d, sub, s)
+
     def scatter_j(acc, accm, gflat, coefs, d):
         """Accumulate per-pair j-side contributions onto particle i+d.
 
@@ -1153,12 +1167,12 @@ def _band_grads_carry(kspec: KernelSpec, params, gt, fields, shifted, sub, wt_re
 
         def short_body(d, carry):
             acc, accm = carry
-            fj_flat = [_view(fields[k], shifted[k], d, sub, s) for k in range(12)]
+            fj_flat = [view_f(k, d) for k in range(12)]
             fi = tuple(Vec3(*fields[3 * k : 3 * k + 3]) for k in range(4))
             fj = tuple(Vec3(*fj_flat[3 * k : 3 * k + 3]) for k in range(4))
             wt = wt_ref[d - 1] if need_hb else None
             mask = pair_mask(d)
-            qfp = qf * _view(qf, qf_sh, d, sub, s) if spec.has_debye else None
+            qfp = qf * view_qf(d) if spec.has_debye else None
             gi, gj = _offset_grads(
                 fi, fj, params, gt, wt, qfp, mask, spec, active=active
             )
@@ -1262,6 +1276,9 @@ def _band_grads_carry(kspec: KernelSpec, params, gt, fields, shifted, sub, wt_re
         back_sh = [pltpu.roll(b, 127, axis=1) for b in back_f]
         gt_db = gt[-1]
 
+        def view_back(k, d):
+            return _view(back_f[k], back_sh[k], d, sub, s)
+
         def tail_grad(back_j, mask, qfp):
             v = back_j - back
             r = _r(v)
@@ -1281,8 +1298,8 @@ def _band_grads_carry(kspec: KernelSpec, params, gt, fields, shifted, sub, wt_re
 
         def tail_body(d, carry):
             acc, accm = carry
-            bj = Vec3(*(_view(back_f[k], back_sh[k], d, sub, s) for k in range(3)))
-            g = tail_grad(bj, pair_mask(d), qf * _view(qf, qf_sh, d, sub, s))
+            bj = Vec3(*(view_back(k, d) for k in range(3)))
+            g = tail_grad(bj, pair_mask(d), qf * view_qf(d))
             acc = list(acc)
             gj, ks = [], []
             for k0, c in back_coefs:
@@ -2015,6 +2032,63 @@ def _force_torque_fields(mspec, params_ub, bparams, gt, gt_b, com3, quat, wt_ref
     return force, torque
 
 
+def _free_rotor_fast(q, angmom, inv_inertia, dt):
+    """NO_SQUISH free rotor for the fused kernel: small-angle sin/cos.
+
+    The stage half-angles are h = (dt·frac/2)·L_k/I_k ≈ 1e-3 at the
+    operating dt and thermal angular momenta; the degree-7/8 Taylor pair
+    below is f32-exact (|err| < 1e-7) for |h| < 0.5 — a regime 2-3 orders
+    of magnitude beyond any physically meaningful step (a trajectory
+    rotating 1 rad/step is already garbage the NaN guard catches). The
+    full-range ``jnp.sin/cos`` lowering costs ~10x per stage; the exact
+    rotor (soa.free_rotor_soa) remains the XLA-path reference the kernel
+    is parity-tested against."""
+    from mythos_tpu.soa import _NO_SQUISH_STAGES, quat_normalize_soa
+
+    w = q.w
+    qs = [q.x, q.y, q.z]
+    Ls = [angmom.x, angmom.y, angmom.z]  # noqa: N806
+    for axis, frac in _NO_SQUISH_STAGES:
+        phi = (dt * frac) * Ls[axis] * inv_inertia[axis]
+        h = 0.5 * phi
+        h2 = h * h
+        c = 1.0 + h2 * (-0.5 + h2 * (1.0 / 24.0 + h2 * (-1.0 / 720.0)))
+        s = h * (
+            1.0 + h2 * (-1.0 / 6.0 + h2 * (1.0 / 120.0 + h2 * (-1.0 / 5040.0)))
+        )
+        if axis == 0:
+            w, qs[0], qs[1], qs[2] = (
+                w * c - qs[0] * s,
+                w * s + qs[0] * c,
+                qs[1] * c + qs[2] * s,
+                qs[2] * c - qs[1] * s,
+            )
+        elif axis == 1:
+            w, qs[0], qs[1], qs[2] = (
+                w * c - qs[1] * s,
+                qs[0] * c - qs[2] * s,
+                w * s + qs[1] * c,
+                qs[2] * c + qs[0] * s,
+            )
+        else:
+            w, qs[0], qs[1], qs[2] = (
+                w * c - qs[2] * s,
+                qs[0] * c + qs[1] * s,
+                qs[1] * c - qs[0] * s,
+                w * s + qs[2] * c,
+            )
+        # L <- R_axis(-phi) L via double-angle from (s, c): no second
+        # sin/cos evaluation
+        ss = 2.0 * s * c
+        cc = 1.0 - 2.0 * s * s
+        j, k = (axis + 1) % 3, (axis + 2) % 3
+        Lj, Lk = Ls[j], Ls[k]  # noqa: N806
+        Ls[j] = cc * Lj + ss * Lk
+        Ls[k] = -ss * Lj + cc * Lk
+    qn = quat_normalize_soa(Quat(w, qs[0], qs[1], qs[2]))
+    return qn, Vec3(Ls[0], Ls[1], Ls[2])
+
+
 def _make_multistep_kernel(mspec: MultiStepSpec):
     kspec = mspec.kspec
     spec = kspec.spec
@@ -2124,7 +2198,7 @@ def _make_multistep_kernel(mspec: MultiStepSpec):
             ell = ell + half * torque
             # A (half)
             com = com + mspec.half_inv_m * p
-            quat, ell = free_rotor_soa(quat, ell, mspec.inv_inertia, half)
+            quat, ell = _free_rotor_fast(quat, ell, mspec.inv_inertia, half)
             # O: exact OU with static constants + chunk-batched normals
             ns = noise(t)
             p = Vec3(
@@ -2139,7 +2213,7 @@ def _make_multistep_kernel(mspec: MultiStepSpec):
             )
             # A (half)
             com = com + mspec.half_inv_m * p
-            quat, ell = free_rotor_soa(quat, ell, mspec.inv_inertia, half)
+            quat, ell = _free_rotor_fast(quat, ell, mspec.inv_inertia, half)
             # force refresh + B
             force, torque = force_torque(tuple(com), quat)
             p = p + half * force

@@ -1086,6 +1086,8 @@ def stencil_band_for_site_cutoffs(
     site_slack: float = 0.5,
     site_margin: int = 1,
     check_block: int = 4,
+    fam_slack_overrides: dict | None = None,
+    far_slack: float | None = None,
 ) -> StencilBand:
     """Size a site-mode StencilBand (exact per-offset validity checks).
 
@@ -1145,6 +1147,13 @@ def stencil_band_for_site_cutoffs(
         ("back", "base"): max(site_slack, 0.75),
         ("base", "back"): max(site_slack, 0.75),
     }
+    # helix-form-specific calibration (e.g. A-form rna2 breathes further
+    # than the B-DNA defaults above: benchmarks/calibrate_aform.py); keys
+    # are unordered family pairs, mirrored into both orders here
+    if fam_slack_overrides:
+        for (fa, fb), v in fam_slack_overrides.items():
+            _fam_slack[(fa, fb)] = max(site_slack, float(v))
+            _fam_slack[(fb, fa)] = max(site_slack, float(v))
 
     def reach_of(pairs) -> int:
         r = 0
@@ -1171,9 +1180,11 @@ def stencil_band_for_site_cutoffs(
     b_sz = max(check_block, -(-n // 4096))
     gaps = _delta_min_gaps(spos, b_sz, n)
     # generous margin: between init and equilibrium the AABB gap shrinks by
-    # the thermal approach (~0.9 su) PLUS block-span growth; the offsets
-    # this pushes into the exact-check range are nearly free in-kernel
-    far_slack = max(site_slack, 1.5)
+    # the thermal approach (~0.9 su for B-DNA; up to ~3 su for A-form
+    # rna2, see benchmarks/calibrate_aform.py — callers pass ``far_slack``
+    # to widen it) PLUS block-span growth; the offsets this pushes into
+    # the exact-check range are nearly free in-kernel
+    far_slack = max(site_slack, far_slack if far_slack is not None else 1.5)
     ok = gaps > far_cutoff + far_slack
     suffix_ok = np.flip(np.logical_and.accumulate(np.flip(ok)))
     cand = np.nonzero(suffix_ok)[0]
