@@ -31,6 +31,8 @@ import numpy as np
 N_BP = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
 N_STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
 N_SEEDS = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+MODEL = sys.argv[4] if len(sys.argv) > 4 else "rna2"
+MARGIN = int(sys.argv[5]) if len(sys.argv) > 5 else 7
 D_MAX = 40  # offsets measured (>> any plausible band reach)
 N_INNER = 20
 
@@ -75,7 +77,9 @@ def _fam_offset_mins(nb, fams, com, quat):
 
 
 def main():
-    import mythos_tpu.energy.rna2 as rna2
+    import importlib
+
+    pkg = importlib.import_module(f"mythos_tpu.energy.{MODEL}")
     from mythos_tpu import soa, spaces
     from mythos_tpu.io.synthetic import synthetic_duplex
     from mythos_tpu.ops import stencil as st
@@ -88,14 +92,14 @@ def main():
     from mythos_tpu.simulators.tpu import StaticSimulatorParams
 
     kT = 296.15 * 0.1 / 300.0
-    topology, body = synthetic_duplex(N_BP, form="A")
+    topology, body = synthetic_duplex(N_BP, form="A" if MODEL == "rna2" else "B")
     perm = strand_interleave_perm(topology)
     nb = stencil_band_for_site_cutoffs(
-        spaces.free()[0], topology, rna2.per_term_site_cutoffs(),
+        spaces.free()[0], topology, pkg.per_term_site_cutoffs(),
         init_centers=body.center, init_orientation=body.orientation,
-        dr_threshold=0.5, perm=perm, site_margin=7,
+        dr_threshold=0.5, perm=perm, site_margin=MARGIN,
     )
-    sc = rna2.per_term_site_cutoffs()
+    sc = pkg.per_term_site_cutoffs()
     fam_cut = {}
     for prs in sc["terms"].values():
         for fa, fb, cu in prs:
@@ -103,9 +107,9 @@ def main():
             fam_cut[key] = max(fam_cut.get(key, 0.0), float(cu))
     fams = sorted(fam_cut)
     print(f"families: {fams}")
-    print(f"band: w_terms={nb.w_terms} w_wide={nb.w_wide} margin=7")
+    print(f"model={MODEL} band: w_terms={nb.w_terms} w_wide={nb.w_wide} margin={MARGIN}")
 
-    e = rna2.create_default_energy_fn(topology, block_unbonded=True, block_size=8)
+    e = pkg.create_default_energy_fn(topology, block_unbonded=True, block_size=8)
     e = e.with_params(e.opt_params())
     sctx = st.prepare_stencil_context(
         e, nb.w_short, nb.w_wide, perm=nb.perm, w_terms=nb.w_terms

@@ -382,10 +382,19 @@ def spatial_md_run_fn(
         return force, torque
 
     def _local_noise(key_t):
-        """Local slice of the global (6, n) draw — device-count invariant."""
-        z = jax.random.normal(jax.random.wrap_key_data(key_t), (6, n))
+        """Counter-based per-slot noise: each device draws ONLY its own
+        (6, nloc) block, keyed by (step key, GLOBAL slot id) — device-count
+        invariant by construction, and the per-device RNG work scales with
+        nloc instead of n (the r4 protocol drew the full (6, n) normal on
+        every device and sliced, which at the 100k+ sizes spatial sharding
+        exists for made every chip pay the whole system's RNG)."""
+        key = jax.random.wrap_key_data(key_t)
         i0 = jax.lax.axis_index(axis) * nloc
-        return jax.lax.dynamic_slice(z, (0, i0), (6, nloc))
+        slot_keys = jax.vmap(lambda s: jax.random.fold_in(key, s))(
+            i0 + jnp.arange(nloc)
+        )
+        z = jax.vmap(lambda k: jax.random.normal(k, (6,)))(slot_keys)
+        return z.T
 
     def _chunk(keys, com_x, com_y, com_z, qw, qx, qy, qz, px, py, pz,
                lx, ly, lz, fx, fy, fz, tx, ty, tz,
