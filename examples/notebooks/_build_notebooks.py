@@ -445,6 +445,497 @@ coordinate file via MDAnalysis, then fit bottom-up distributions
 barostat (`mythos_tpu/simulators/martini.py`)."""),
 ])
 
+NB["persistence_length_optimization"] = notebook([
+    md("""# Fitting stacking strength to a persistence-length target
+
+DNA's bending stiffness — the **persistence length** Lp — is an emergent,
+trajectory-level property: no single snapshot defines it. Because the
+whole pipeline (Langevin dynamics → local helical axes → tangent
+correlation decay → exponential fit) is one differentiable JAX program,
+`d Lp / d eps_stack` comes out of a single `jax.grad`, and a plain
+optimizer loop can tune the force field toward a target stiffness.
+
+Mirrors the reference's `examples/oxdna/persistence_length_optimization.ipynb`
+workflow on the TPU-native direct-differentiation path."""),
+    code(COMMON_SETUP + '''
+import optax
+
+import mythos_tpu.energy.dna1 as dna1
+from mythos_tpu import spaces
+from mythos_tpu.io.synthetic import synthetic_duplex
+from mythos_tpu.observables import PersistenceLength
+from mythos_tpu.observables.base import get_duplex_quartets
+
+N_BP = 16          # duplex length (production fits use hundreds of bp)
+N_SIM_STEPS = 400
+N_OPT_STEPS = 2
+TARGET_LP = 47.0   # oxDNA simulation units (~40 nm)
+'''),
+    md("""## System and simulator
+
+A synthetic ideal duplex; the simulator emits every 50th state so the Lp
+estimator averages over the trajectory, and `checkpoint_every` keeps the
+backward pass memory bounded."""),
+    code('''
+from mythos_tpu.rigid_body import RigidBody
+from mythos_tpu.simulators import NoNeighborList, StaticSimulatorParams, TpuSimulator
+
+topology, init = synthetic_duplex(N_BP)
+energy_fn = dna1.create_default_energy_fn(topology)
+sim_cfg, _ = dna1.default_configs()
+kT, dt = float(sim_cfg["kT"]), float(sim_cfg["dt"])
+sim = TpuSimulator(
+    energy_fn=energy_fn,
+    simulator_params=StaticSimulatorParams(
+        seq=jnp.asarray(topology.seq),
+        mass=RigidBody(center=jnp.array([1.0]), orientation=jnp.array([[1.0, 1.0, 1.0]])),
+        gamma=RigidBody(center=jnp.array([kT / 2.5]), orientation=jnp.array([kT / 7.5])),
+        bonded_neighbors=jnp.asarray(topology.bonded_neighbors),
+        # remat boundary every 4 of the 8 emitted chunks (it must divide them)
+        checkpoint_every=4, dt=dt, kT=kT,
+    ),
+    space=spaces.free(),
+    neighbors=NoNeighborList(unbonded_nbrs=topology.unbonded_neighbors),
+    save_every=50,
+)
+params = energy_fn.opt_params()
+'''),
+    md("""## The observable
+
+`PersistenceLength` builds a local helical axis per base-pair quartet,
+computes tangent-tangent correlations along the duplex, and fits the
+exponential decay — all in jnp, so it differentiates."""),
+    code('''
+lp_obs = PersistenceLength(
+    rigid_body_transform_fn=dna1.default_transform_fn(),
+    quartets=get_duplex_quartets(topology.n_nucleotides // 2),
+    displacement_fn=spaces.free()[0],
+)
+
+@jax.jit
+def loss_fn(opt_params, key):
+    out = sim.run(opt_params, init, N_SIM_STEPS, key)
+    lp = lp_obs(out.observables[0])
+    return (lp - TARGET_LP) ** 2, lp
+
+grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+'''),
+    md("""## Optimize
+
+Stacking strength is the dominant stiffness knob in oxDNA — watch
+`eps_stack_base` receive gradient through the dynamics. (A 16-bp helix
+over a few hundred steps gives a noisy Lp estimate; the point here is
+the differentiable pipeline, not a converged fit.)"""),
+    code('''
+opt = optax.adam(3e-3)
+opt_state = opt.init(params)
+for step in range(N_OPT_STEPS):
+    (loss, lp), grads = grad_fn(params, jax.random.PRNGKey(step))
+    updates, opt_state = opt.update(grads, opt_state)
+    params = optax.apply_updates(params, updates)
+    print(f"step {step}: Lp={float(lp):7.2f} su (target {TARGET_LP})  "
+          f"d eps_stack_base={float(grads['eps_stack_base']):+.3e}")
+'''),
+])
+
+NB["melting_temperature_optimization"] = notebook([
+    md("""# Melting-temperature fitting by umbrella reweighting
+
+The duplex melting temperature Tm is an *ensemble* property: the
+temperature where bound and unbound states are equally likely. The
+workflow (mirroring the reference's
+`examples/oxdna/melting_temperature_optimization.ipynb`):
+
+1. an umbrella-sampling run produces a trajectory with per-state bind
+   indicators and umbrella weights (here: the shipped golden fixture, so
+   no oxDNA binary is needed);
+2. `MeltingTemp` re-evaluates the trajectory's energies at a grid of
+   temperatures, Boltzmann-reweights the umbrella-weighted counts,
+   applies the finite-size correction, and interpolates the 50% point;
+3. the whole chain is differentiable, so `d Tm / d eps_hb` drives a
+   gradient loop — **no resimulation inside the loop** (the DiffTRe
+   approximation; re-sample when n_eff degrades)."""),
+    code(COMMON_SETUP + '''
+jax.config.update("jax_enable_x64", True)   # reweighting spans ~70 kT of energy
+
+from pathlib import Path
+
+import optax
+
+import mythos_tpu.energy.dna1 as dna1
+import mythos_tpu.io.topology as top
+import mythos_tpu.io.trajectory as traj
+from mythos_tpu import spaces
+from mythos_tpu.energy.base import ComposedEnergyFunction
+from mythos_tpu.observables.melting_temp import MeltingTemp
+from mythos_tpu.simulators.io import SimulatorTrajectory
+from mythos_tpu.simulators.oxdna.utils import read_energy
+
+TEST_DATA = Path(os.environ.get("MYTHOS_TPU_TESTDATA", "/root/reference/data/test-data"))
+SIM_KT = 0.10238333333333333          # the umbrella run's temperature (307.15 K)
+KT_RANGE = 0.1 * jnp.linspace(280.0, 350.0, 20) / 300.0
+TARGET_SHIFT_K = 5.0                  # ask for a 5 K higher Tm
+N_OPT_STEPS = 4
+'''),
+    md("""## Load the umbrella-sampled trajectory
+
+`read_energy` parses oxDNA's umbrella `energy.dat` (bind indicator +
+umbrella weight per state); the trajectory is ordinary oxDNA text
+output."""),
+    code('''
+base = TEST_DATA / "melting_temp"
+topology = top.from_oxdna_file(base / "sys.top")
+trajectory = traj.from_file(base / "trajectory.dat", topology.strand_counts, is_5p_3p=False)
+energy = read_energy(base)
+bind_states = energy["bond"].to_numpy()
+umbrella_weights = energy["weight"].to_numpy()
+print(f"{len(trajectory.states)} states, "
+      f"{int(bind_states.sum())} bound, box from conf header")
+'''),
+    md("""## Energy function + the Tm observable
+
+The energy function re-evaluates every state at each grid temperature
+inside `MeltingTemp` (`kt` is rebound per evaluation, so its
+temperature-dependent terms — stacking's `eps = base + coeff*kT` —
+respond correctly)."""),
+    code('''
+energy_fn = (
+    ComposedEnergyFunction.from_lists(
+        energy_fns=dna1.default_energy_fns(),
+        energy_configs=dna1.default_energy_configs(),
+        transform_fn=dna1.default_transform_fn(),
+        displacement_fn=spaces.periodic(20.0)[0],
+        topology=topology,
+    )
+    .with_noopt("ss_stack_weights", "ss_hb_weights", "kt")
+    .with_params(kt=SIM_KT)
+)
+melting = MeltingTemp(
+    rigid_body_transform_fn=dna1.default_transform_fn(),
+    sim_temperature=SIM_KT,
+    temperature_range=KT_RANGE,
+    energy_fn=energy_fn,
+)
+sim_traj = SimulatorTrajectory.from_rigid_body(trajectory.state_rigid_body)
+params = energy_fn.opt_params()
+tm0 = float(melting(trajectory=sim_traj, bind_states=bind_states,
+                    umbrella_weights=umbrella_weights, opt_params=params))
+print(f"initial Tm = {tm0:.6f} kT  ({tm0 / 0.1 * 300:.1f} K)")
+'''),
+    md("""## Retune `eps_hb` toward a shifted target
+
+Hydrogen-bond strength is the natural Tm knob. Each step re-runs only
+the reweighting — milliseconds, not a new simulation."""),
+    code('''
+target = jnp.asarray(tm0 + 0.1 * TARGET_SHIFT_K / 300.0)
+
+@jax.jit
+def loss_fn(eps_hb):
+    p = dict(params, eps_hb=eps_hb)
+    tm = melting(trajectory=sim_traj, bind_states=bind_states,
+                 umbrella_weights=umbrella_weights, opt_params=p)
+    return (tm - target) ** 2 * 1e6, tm
+
+eps = jnp.asarray(params["eps_hb"])
+opt = optax.adam(2e-3)
+state = opt.init(eps)
+for step in range(N_OPT_STEPS):
+    (loss, tm), g = jax.value_and_grad(loss_fn, has_aux=True)(eps)
+    updates, state = opt.update(g, state)
+    eps = optax.apply_updates(eps, updates)
+    print(f"step {step}: Tm={float(tm):.6f} (target {float(target):.6f})  "
+          f"eps_hb={float(eps):.4f}  grad={float(g):+.3f}")
+'''),
+    md("""In production the optimizer callback recomputes umbrella weights
+from the last histogram and re-triggers sampling when the reweighting's
+effective sample size degrades — see
+`mythos_tpu/simulators/oxdna/` (`oxDNAUmbrellaSampler`) and the
+reference's notebook for the full loop."""),
+])
+
+NB["multi_trajectory_optimization"] = notebook([
+    md("""# Multi-trajectory DiffTRe: several simulators, one objective
+
+Production fits pool statistics from several independently seeded
+trajectories. Here N replica simulators each expose a trajectory; one
+`DiffTReObjective` concatenates them (equilibration-sliced, per-segment
+n_eff guarded) and yields a single reweighted gradient; the
+`PoolOptimizer` schedules everything, re-triggering exactly the
+simulators whose statistics have gone stale.
+
+This is the reference's `RayOptimizer` scheduling semantics
+(`mythos/optimization/optimization.py`) on an in-process worker pool —
+replicas that are JAX programs don't need an object store."""),
+    code(COMMON_SETUP + '''
+import optax
+
+import mythos_tpu.energy.dna1 as dna1
+from mythos_tpu import spaces
+from mythos_tpu.io.synthetic import synthetic_duplex
+from mythos_tpu.losses import ObservableLossFn, SquaredError
+from mythos_tpu.observables import PropellerTwist
+from mythos_tpu.observables.propeller import TARGETS
+from mythos_tpu.optimization import DiffTReObjective, PoolOptimizer
+from mythos_tpu.rigid_body import RigidBody
+from mythos_tpu.simulators import NoNeighborList, StaticSimulatorParams, TpuSimulator
+from mythos_tpu.simulators.base import BoundSimulator
+from mythos_tpu.ui.loggers import ConsoleLogger
+
+N_BP = 8
+N_REPLICAS = 2
+SIM_STEPS = 300
+SAVE_EVERY = 50
+N_OPT_STEPS = 2
+'''),
+    code('''
+topology, init = synthetic_duplex(N_BP)
+energy_fn = dna1.create_default_energy_fn(topology)
+sim_cfg, _ = dna1.default_configs()
+kT, dt = float(sim_cfg["kT"]), float(sim_cfg["dt"])
+base = TpuSimulator(
+    energy_fn=energy_fn,
+    simulator_params=StaticSimulatorParams(
+        seq=jnp.asarray(topology.seq),
+        mass=RigidBody(center=jnp.array([1.0]), orientation=jnp.array([[1.0, 1.0, 1.0]])),
+        gamma=RigidBody(center=jnp.array([kT / 2.5]), orientation=jnp.array([kT / 7.5])),
+        bonded_neighbors=jnp.asarray(topology.bonded_neighbors),
+        checkpoint_every=0, dt=dt, kT=kT,
+    ),
+    space=spaces.free(),
+    neighbors=NoNeighborList(unbonded_nbrs=topology.unbonded_neighbors),
+    save_every=SAVE_EVERY,
+)
+params = energy_fn.opt_params()
+'''),
+    md("""## Replicas
+
+`BoundSimulator` wraps one simulator with a name, fixed run args, and its
+own seed stream (an invocation counter guarantees fresh keys on every
+optimizer-triggered rerun)."""),
+    code('''
+sims = [
+    BoundSimulator(name=f"replica_{i}", simulator=base,
+                   run_args=(init, SIM_STEPS), seed=i)
+    for i in range(N_REPLICAS)
+]
+required = tuple(name for s in sims for name in s.exposes())
+print("objective consumes:", required)
+'''),
+    md("""## One objective over all trajectories
+
+The DiffTRe objective stitches the replica trajectories together and
+computes the reweighted observable loss; when the parameters drift far
+enough that n_eff drops below threshold on ANY segment, it reports
+not-ready and the optimizer reruns the simulators."""),
+    code('''
+bps = jnp.array([[i, topology.n_nucleotides - 1 - i] for i in range(N_BP)], dtype=jnp.int32)
+obs_loss = ObservableLossFn(
+    observable=PropellerTwist(
+        rigid_body_transform_fn=dna1.default_transform_fn(), h_bonded_base_pairs=bps
+    ),
+    loss_fn=SquaredError(),
+    return_observable=True,
+)
+
+def grad_or_loss_fn(ref_states, weights, energy_fn, opt_params, observables):
+    loss, measured = obs_loss(ref_states, TARGETS["oxDNA"], weights)
+    return loss, (("propeller_twist", measured), None)
+
+objective = DiffTReObjective(
+    name="propeller",
+    required_observables=required,
+    grad_or_loss_fn=grad_or_loss_fn,
+    energy_fn=energy_fn,
+    n_equilibration_steps=2,
+)
+optimizer = PoolOptimizer(
+    objectives=[objective],
+    simulators=sims,
+    aggregate_grad_fn=lambda grads: grads[0],  # a single objective
+    optimizer=optax.adam(1e-3),
+    logger=ConsoleLogger(),
+)
+out = optimizer.run(params, N_OPT_STEPS)
+print("final eps_hb:", float(out.opt_params["eps_hb"]))
+'''),
+    md("""The pool runs replicas concurrently (thread workers around jitted
+programs release the GIL); `SchedulerHints` on simulators/objectives
+size the pool the same way the reference's Ray resource hints sized its
+cluster tasks."""),
+])
+
+NB["replica_mesh_optimization"] = notebook([
+    md("""# Replica parallelism over a device mesh
+
+Where the reference fanned replica simulators out as Ray tasks, the
+TPU-native equivalent runs N replicas (different PRNG streams) as ONE
+SPMD program over a `jax.sharding.Mesh`: each device integrates its own
+trajectory, and per-replica gradients combine with an ICI `psum` —
+no object store, no host round-trips.
+
+This notebook uses a virtual 4-device CPU mesh (set **before** importing
+jax), so it runs anywhere; on real hardware the same code spans TPU
+chips."""),
+    code('''
+import os
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=4").strip()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+print(jax.devices())
+'''),
+    code('''
+import mythos_tpu.energy.dna1 as dna1
+from mythos_tpu import spaces
+from mythos_tpu.io.synthetic import synthetic_duplex
+from mythos_tpu.observables import PropellerTwist
+from mythos_tpu.observables.propeller import TARGETS
+from mythos_tpu.parallel import make_mesh, replica_grad_fn
+from mythos_tpu.rigid_body import RigidBody
+from mythos_tpu.simulators import NoNeighborList, StaticSimulatorParams, TpuSimulator
+
+N_BP = 8
+SIM_STEPS = 100
+N_REPLICAS = 4
+N_OPT_STEPS = 2
+
+topology, init = synthetic_duplex(N_BP)
+energy_fn = dna1.create_default_energy_fn(topology)
+sim_cfg, _ = dna1.default_configs()
+kT, dt = float(sim_cfg["kT"]), float(sim_cfg["dt"])
+simulator = TpuSimulator(
+    energy_fn=energy_fn,
+    simulator_params=StaticSimulatorParams(
+        seq=jnp.asarray(topology.seq),
+        mass=RigidBody(center=jnp.array([1.0]), orientation=jnp.array([[1.0, 1.0, 1.0]])),
+        gamma=RigidBody(center=jnp.array([kT / 2.5]), orientation=jnp.array([kT / 7.5])),
+        bonded_neighbors=jnp.asarray(topology.bonded_neighbors),
+        checkpoint_every=50, dt=dt, kT=kT,
+    ),
+    space=spaces.free(),
+    neighbors=NoNeighborList(unbonded_nbrs=topology.unbonded_neighbors),
+)
+params = energy_fn.opt_params()
+'''),
+    md("""## Per-replica loss, mesh-averaged gradient
+
+`replica_grad_fn` shard_maps the (loss, grad) computation over the mesh's
+replica axis: each device runs the full trajectory for its own key and
+the results `psum` across ICI. The returned function is an ordinary
+jittable callable."""),
+    code('''
+bps = jnp.array([[i, topology.n_nucleotides - 1 - i] for i in range(N_BP)], dtype=jnp.int32)
+observable = PropellerTwist(
+    rigid_body_transform_fn=dna1.default_transform_fn(), h_bonded_base_pairs=bps
+)
+
+def loss_fn(p, key):
+    out = simulator.run(p, init, SIM_STEPS, key)
+    twist = jnp.mean(observable(out.observables[0]))
+    return (twist - TARGETS["oxDNA"]) ** 2
+
+mesh = make_mesh(N_REPLICAS)
+grad_step = replica_grad_fn(loss_fn, mesh)
+
+opt = optax.adam(1e-3)
+opt_state = opt.init(params)
+key = jax.random.PRNGKey(0)
+for step in range(N_OPT_STEPS):
+    key, subkey = jax.random.split(key)
+    keys = jax.random.key_data(jax.random.split(subkey, N_REPLICAS))
+    loss, grads = grad_step(params, keys)
+    updates, opt_state = opt.update(grads, opt_state)
+    params = optax.apply_updates(params, updates)
+    print(f"step {step}: mean replica loss {float(loss):8.3f}  "
+          f"d eps_stack_base={float(grads['eps_stack_base']):+.3e}")
+'''),
+    md("""Scaling out: multi-host TPU pods keep the replica axis on ICI/DCN
+via the same mesh; spatially sharding ONE large system across chips is
+the other axis (`mythos_tpu/parallel/spatial.py`)."""),
+])
+
+NB["martini_bottom_up_optimization"] = notebook([
+    md("""# Bottom-up MARTINI fitting with Wasserstein distances
+
+Bottom-up coarse-grained fitting matches the CG model's structural
+*distributions* (bond lengths, angles) to reference data. The
+reference's workflow samples with GROMACS and reweights with DiffTRe;
+here the sampler is the native in-process MARTINI MD
+(`mythos_tpu/simulators/martini.py`), so the Wasserstein-1 distance
+between the current and target bond-length distributions differentiates
+DIRECTLY through the dynamics — no subprocesses, no reweighting.
+
+Flow: simulate a small DLPC bilayer at reference parameters → record the
+PO4–C1A bond-length distribution as the "experiment" → perturb the
+equilibrium bond length → recover it by gradient descent on W1."""),
+    code(COMMON_SETUP + '''
+import optax
+
+from mythos_tpu.energy.martini.systems import default_bilayer_terms, lattice_bilayer
+from mythos_tpu.observables.bond_distances import BondDistances
+from mythos_tpu.observables.wasserstein import WassersteinDistance
+from mythos_tpu.simulators import MartiniSimulator
+
+BOND = "DLPC_PO4_C1A"
+N_STEPS = 200
+N_OPT_STEPS = 3
+'''),
+    code('''
+topology, pos, box, masses = lattice_bilayer(4, 4, water_layers=2)
+sim = MartiniSimulator(
+    energy_fns=default_bilayer_terms(topology),
+    box=jnp.asarray(box),
+    masses=jnp.asarray(masses),
+    dt=0.02,
+    save_every=20,
+)
+pos0 = jnp.asarray(pos)
+bond_obs = BondDistances(topology=topology, bond_name=BOND)
+
+# the "experiment": distributions sampled at the true parameters
+ref = sim.run(None, pos0, N_STEPS, jax.random.PRNGKey(0)).observables[0]
+target = bond_obs(ref).flatten()
+print(f"target <{BOND}> = {float(target.mean()):.4f} nm over {target.size} samples")
+'''),
+    md("""## Fit back the perturbed bond length
+
+`WassersteinDistance` computes the 1-D W1 distance between sorted
+samples — smooth in the parameters, unlike histogram losses. The bonded
+parameter names (`bond_r0_DLPC_PO4_C1A`, ...) are the same contract the
+GROMACS topology parser uses."""),
+    code('''
+w1 = WassersteinDistance(observable=bond_obs, v_distribution=target)
+KEY = "bond_r0_" + BOND
+TRUE_R0 = 0.47   # the MARTINI reference value the target was sampled at
+
+@jax.jit
+def loss_fn(p, key):
+    traj = sim.run(p, pos0, N_STEPS, key).observables[0]
+    return w1(traj)
+
+params = {KEY: jnp.asarray(0.40)}   # start 0.7 A short of the truth
+opt = optax.adam(2e-2)
+state = opt.init(params)
+for step in range(N_OPT_STEPS):
+    loss, g = jax.value_and_grad(loss_fn)(params, jax.random.PRNGKey(10 + step))
+    updates, state = opt.update(g, state)
+    params = optax.apply_updates(params, updates)
+    print(f"step {step}: W1={float(loss):.4f}  {KEY}={float(params[KEY]):.4f} "
+          f"(true {TRUE_R0:.4f})")
+'''),
+    md("""The same machinery extends to angle distributions
+(`TripletAngles` + `WassersteinDistance`) and to multi-system fits — see
+`examples/scripts/martini_full_reparameterization.py` for the
+YAML-driven version covering several lipids at once."""),
+])
+
+
 if __name__ == "__main__":
     import pathlib
 
